@@ -1,0 +1,260 @@
+"""Synthetic multi-view aerial scenes with analytic ground truth.
+
+Used as the repo's test fixture generator: the reference corpora (WHU_OMVS etc.)
+are not shipped, but their on-disk formats are fully specified
+(datasets/data_io.py:47-133, datasets/cas_total_rscv.py:209-267,388-426), so we
+generate tiny scenes in those exact layouts.
+
+Scene model: a tilted plane ``z = a*x + b*y + h0`` textured with a smooth
+procedural RGB function, photographed by downward-looking cameras given in the
+WHU photogrammetric convention (XrightYup, [Rwc|twc]). Images are rendered by
+exact ray/plane intersection, so multi-view photo-consistency and ground-truth
+depth are analytic — geometry tests check the whole warp stack against these.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+
+import numpy as np
+from PIL import Image
+
+from ..geom.camera import (
+    Camera,
+    convert_photogrammetric_extrinsic,
+    depth_sample_count,
+)
+from .. import io as mvsio
+
+
+def _texture(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """Smooth, matchable RGB texture over world (x, y); float in [0, 255].
+
+    Band-limited: with focal≈160 px at flying height≈500 the ground sample
+    distance is ~3 world units/pixel, so the highest spatial frequency is kept
+    ≲0.1 rad/unit (period ≥ ~20 px) — the rendered images stay Nyquist-clean
+    and bilinear resampling between views is photo-consistent.
+    """
+    r = 0.5 + 0.25 * np.sin(0.051 * x + 0.023 * y) + 0.25 * np.sin(0.097 * x - 0.065 * y)
+    g = 0.5 + 0.25 * np.sin(0.037 * x - 0.059 * y) + 0.25 * np.cos(0.071 * x + 0.089 * y)
+    b = 0.5 + 0.25 * np.cos(0.029 * x + 0.083 * y) + 0.25 * np.sin(0.061 * x + 0.103 * y)
+    return np.clip(np.stack([r, g, b], axis=-1) * 255.0, 0, 255)
+
+
+def _rot_xyz(rx: float, ry: float, rz: float) -> np.ndarray:
+    cx, sx = np.cos(rx), np.sin(rx)
+    cy, sy = np.cos(ry), np.sin(ry)
+    cz, sz = np.cos(rz), np.sin(rz)
+    Rx = np.array([[1, 0, 0], [0, cx, -sx], [0, sx, cx]])
+    Ry = np.array([[cy, 0, sy], [0, 1, 0], [-sy, 0, cy]])
+    Rz = np.array([[cz, -sz, 0], [sz, cz, 0], [0, 0, 1]])
+    return Rz @ Ry @ Rx
+
+
+@dataclasses.dataclass
+class SyntheticView:
+    name: str
+    camera: Camera  # converted XrightYdown Tcw camera
+    rwc: np.ndarray  # photogrammetric rotation (XrightYup)
+    twc: np.ndarray  # projection center
+    image: np.ndarray  # uint8 [H,W,3]
+    depth: np.ndarray  # float32 [H,W]
+    mask: np.ndarray  # uint8 [H,W] (255 valid)
+
+
+@dataclasses.dataclass
+class SyntheticScene:
+    views: list[SyntheticView]
+    plane: tuple[float, float, float]  # z = a x + b y + h0
+    depth_start: float
+    depth_end: float
+    depth_interval: float
+
+    @property
+    def height(self) -> int:
+        return self.views[0].image.shape[0]
+
+    @property
+    def width(self) -> int:
+        return self.views[0].image.shape[1]
+
+
+def render_view(
+    K: np.ndarray,
+    rwc: np.ndarray,
+    twc: np.ndarray,
+    height: int,
+    width: int,
+    plane: tuple[float, float, float],
+) -> tuple[np.ndarray, np.ndarray]:
+    """Render (image, depth) for a photogrammetric camera by ray casting.
+
+    ``rwc``/``twc`` are XrightYup [Rwc|twc]; depth is the camera-frame z after
+    the XrightYdown conversion (the quantity the plane sweep hypothesizes over).
+    """
+    a, b, h0 = plane
+    tcw_mat = convert_photogrammetric_extrinsic(rwc, twc).astype(np.float64)
+    rcw = tcw_mat[:3, :3]
+    c = np.asarray(twc, dtype=np.float64)
+
+    v, u = np.meshgrid(np.arange(height, dtype=np.float64), np.arange(width, dtype=np.float64), indexing="ij")
+    Kinv = np.linalg.inv(K.astype(np.float64))
+    pix = np.stack([u, v, np.ones_like(u)], axis=-1)  # [H,W,3]
+    d_cam = pix @ Kinv.T
+    d_world = d_cam @ rcw  # Rcw^T @ d_cam, row-vector form
+
+    denom = d_world[..., 2] - a * d_world[..., 0] - b * d_world[..., 1]
+    t = (a * c[0] + b * c[1] + h0 - c[2]) / denom
+    p = c[None, None, :] + t[..., None] * d_world
+    depth = (p - c[None, None, :]) @ rcw[2]  # camera-frame z
+    image = _texture(p[..., 0], p[..., 1]).astype(np.uint8)
+    return image, depth.astype(np.float32)
+
+
+def make_scene(
+    num_views: int = 5,
+    height: int = 96,
+    width: int = 128,
+    seed: int = 0,
+    focal: float = 160.0,
+    fly_height: float = 500.0,
+    plane: tuple[float, float, float] = (0.04, -0.03, 20.0),
+    baseline: float = 60.0,
+    tilt: float = 0.04,
+) -> SyntheticScene:
+    """Build a synthetic scene: view 0 is the nadir reference, the rest orbit it."""
+    rng = np.random.RandomState(seed)
+    K = np.array(
+        [[focal, 0.0, width / 2.0], [0.0, focal, height / 2.0], [0.0, 0.0, 1.0]],
+        dtype=np.float32,
+    )
+    views: list[SyntheticView] = []
+    depth_min, depth_max = np.inf, -np.inf
+    for i in range(num_views):
+        if i == 0:
+            rwc = np.eye(3)
+            twc = np.array([0.0, 0.0, fly_height])
+        else:
+            ang = 2 * np.pi * (i - 1) / max(1, num_views - 1)
+            twc = np.array(
+                [baseline * np.cos(ang), baseline * np.sin(ang), fly_height + rng.uniform(-5, 5)]
+            )
+            # small tilt toward the scene center keeps frusta overlapping
+            rwc = _rot_xyz(
+                tilt * np.sin(ang) + rng.uniform(-0.01, 0.01),
+                -tilt * np.cos(ang) + rng.uniform(-0.01, 0.01),
+                rng.uniform(-0.02, 0.02),
+            )
+        image, depth = render_view(K, rwc, twc, height, width, plane)
+        cam = Camera(K=K.copy(), tcw=convert_photogrammetric_extrinsic(rwc, twc))
+        mask = np.full((height, width), 255, dtype=np.uint8)
+        views.append(
+            SyntheticView(name=f"view_{i:03d}", camera=cam, rwc=rwc, twc=twc, image=image, depth=depth, mask=mask)
+        )
+        depth_min = min(depth_min, float(depth.min()))
+        depth_max = max(depth_max, float(depth.max()))
+
+    start = float(np.floor(depth_min - 2.0))
+    end = float(np.ceil(depth_max + 2.0))
+    interval = (end - start) / 96.0
+    for view in views:
+        view.camera.depth_start = start
+        view.camera.depth_end = end
+        view.camera.depth_interval = interval
+        view.camera.depth_count = float(depth_sample_count(start, end, interval))
+    return SyntheticScene(
+        views=views, plane=plane, depth_start=start, depth_end=end, depth_interval=interval
+    )
+
+
+# ---------------------------------------------------------------------------
+# on-disk trees in the reference corpora layouts
+# ---------------------------------------------------------------------------
+
+
+def _write_obliquewhu_cam_txt(path: str, view: SyntheticView) -> None:
+    """WHU_OMVS train cam dialect (cas_total_rscv.py:388-426): two header
+    tokens, Twc(XrightYup) 4x4 at tokens [2..17], K at [18..26],
+    start/end/interval at [27..29]."""
+    twc_mat = np.eye(4)
+    twc_mat[:3, :3] = view.rwc
+    twc_mat[:3, 3] = view.twc
+    cam = view.camera
+    toks = ["extrinsic", "Twc_XrightYup"]
+    toks += [repr(float(x)) for x in twc_mat.reshape(-1)]
+    toks += [repr(float(x)) for x in cam.K.reshape(-1)]
+    toks += [repr(float(cam.depth_start)), repr(float(cam.depth_end)), repr(float(cam.depth_interval))]
+    with open(path, "w") as f:
+        f.write(" ".join(toks) + "\n")
+
+
+def write_whu_omvs_tree(root: str, scene: SyntheticScene, scene_name: str = "009_53") -> str:
+    """Write a train/val tree in the WHU_OMVS layout (cas_total_rscv.py:209-267).
+
+    Every view serves as a reference with the remaining views as sources.
+    """
+    os.makedirs(root, exist_ok=True)
+    with open(os.path.join(root, "index.txt"), "w") as f:
+        f.write(scene_name + "\n")
+    sdir = os.path.join(root, scene_name)
+    for sub in ("images", "cams", "depths", "masks", "info"):
+        os.makedirs(os.path.join(sdir, sub), exist_ok=True)
+
+    n = len(scene.views)
+    for i, view in enumerate(scene.views):
+        Image.fromarray(view.image).save(os.path.join(sdir, "images", view.name + ".png"))
+        _write_obliquewhu_cam_txt(os.path.join(sdir, "cams", view.name + ".txt"), view)
+        mvsio.write_exr_depth(os.path.join(sdir, "depths", view.name + ".exr"), view.depth)
+        Image.fromarray(view.mask).save(os.path.join(sdir, "masks", view.name + ".png"))
+
+    with open(os.path.join(sdir, "info", "image_path.txt"), "w") as f:
+        f.write(f"{n}\n")
+        for i, view in enumerate(scene.views):
+            f.write(f"{i} {view.name} {os.path.join(sdir, 'images', view.name + '.png')}\n")
+    with open(os.path.join(sdir, "info", "viewpair.txt"), "w") as f:
+        f.write(f"{n}\n")
+        for i in range(n):
+            srcs = [j for j in range(n) if j != i]
+            f.write(f"{i}\n")
+            f.write(str(len(srcs)) + " " + " ".join(f"{j} {1.0}" for j in srcs) + "\n")
+    return sdir
+
+
+def write_predict_source_tree(root: str, scene: SyntheticScene) -> str:
+    """Write a predict-source dir (viewpair/image_info/camera_info/image_path
+    txt files, data_io.py:47-133) with the scene's views."""
+    os.makedirs(root, exist_ok=True)
+    img_dir = os.path.join(root, "images")
+    os.makedirs(img_dir, exist_ok=True)
+
+    n = len(scene.views)
+    cam = scene.views[0].camera
+    with open(os.path.join(root, "camera_info.txt"), "w") as f:
+        f.write("# CAMERA_ID WIDTH HEIGHT PIXELSIZE fx fy cx cy K1 K2 K3 P1 P2\n")
+        f.write(
+            f"1 {scene.width} {scene.height} 1.0 {float(cam.K[0,0])!r} {float(cam.K[1,1])!r} "
+            f"{float(cam.K[0,2])!r} {float(cam.K[1,2])!r} 0 0 0 0 0\n"
+        )
+    with open(os.path.join(root, "image_info.txt"), "w") as f:
+        f.write("# IMAGE_ID CAMERA_ID Rwc[9] twc[3] MINDEPTH MAXDEPTH NAME\n")
+        for i, view in enumerate(scene.views):
+            rwc = " ".join(repr(float(x)) for x in view.rwc.reshape(-1))
+            twc = " ".join(repr(float(x)) for x in view.twc)
+            f.write(
+                f"{i} 1 {rwc} {twc} {scene.depth_start!r} {scene.depth_end!r} "
+                f"images/{view.name}.png\n"
+            )
+    with open(os.path.join(root, "image_path.txt"), "w") as f:
+        f.write(f"{n}\n")
+        for i, view in enumerate(scene.views):
+            path = os.path.join(img_dir, view.name + ".png")
+            Image.fromarray(view.image).save(path)
+            f.write(f"{i} {view.name} {path}\n")
+    with open(os.path.join(root, "viewpair.txt"), "w") as f:
+        f.write(f"{n}\n")
+        for i in range(n):
+            srcs = [j for j in range(n) if j != i]
+            f.write(f"{i}\n")
+            f.write(str(len(srcs)) + " " + " ".join(f"{j} {1.0}" for j in srcs) + "\n")
+    return root
