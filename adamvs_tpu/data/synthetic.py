@@ -28,18 +28,37 @@ from ..geom.camera import (
 from .. import io as mvsio
 
 
-def _texture(x: np.ndarray, y: np.ndarray) -> np.ndarray:
-    """Smooth, matchable RGB texture over world (x, y); float in [0, 255].
+_TEXTURE_COMPONENTS = 24
+_TEXTURE_MAX_FREQ = 0.30  # rad / world unit; ~0.55 rad/px at GSD ≈ 1.85
 
-    Band-limited: with focal≈160 px at flying height≈500 the ground sample
-    distance is ~3 world units/pixel, so the highest spatial frequency is kept
-    ≲0.1 rad/unit (period ≥ ~20 px) — the rendered images stay Nyquist-clean
-    and bilinear resampling between views is photo-consistent.
-    """
-    r = 0.5 + 0.25 * np.sin(0.051 * x + 0.023 * y) + 0.25 * np.sin(0.097 * x - 0.065 * y)
-    g = 0.5 + 0.25 * np.sin(0.037 * x - 0.059 * y) + 0.25 * np.cos(0.071 * x + 0.089 * y)
-    b = 0.5 + 0.25 * np.cos(0.029 * x + 0.083 * y) + 0.25 * np.sin(0.061 * x + 0.103 * y)
-    return np.clip(np.stack([r, g, b], axis=-1) * 255.0, 0, 255)
+
+def _texture_basis():
+    """Fixed random band-limited spectrum: aperiodic (no false plane-sweep
+    matches, unlike a few pure sinusoids) yet smooth enough that bilinear
+    resampling between views stays photo-consistent."""
+    rng = np.random.RandomState(42)
+    n = _TEXTURE_COMPONENTS
+    freqs = rng.uniform(0.02, _TEXTURE_MAX_FREQ, size=(3, n))
+    angles = rng.uniform(0, 2 * np.pi, size=(3, n))
+    phases = rng.uniform(0, 2 * np.pi, size=(3, n))
+    fx = freqs * np.cos(angles)
+    fy = freqs * np.sin(angles)
+    return fx, fy, phases
+
+
+_TEX_FX, _TEX_FY, _TEX_PHASE = _texture_basis()
+
+
+def _texture(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """Smooth, matchable RGB texture over world (x, y); float in [0, 255]."""
+    x = np.asarray(x)[..., None]
+    y = np.asarray(y)[..., None]
+    chans = []
+    scale = np.sqrt(2.0 / _TEXTURE_COMPONENTS)
+    for c in range(3):
+        v = np.sin(x * _TEX_FX[c] + y * _TEX_FY[c] + _TEX_PHASE[c]).sum(-1)
+        chans.append(0.5 + 0.3 * scale * v)
+    return np.clip(np.stack(chans, axis=-1) * 255.0, 0, 255)
 
 
 def _rot_xyz(rx: float, ry: float, rz: float) -> np.ndarray:
@@ -117,12 +136,16 @@ def make_scene(
     height: int = 96,
     width: int = 128,
     seed: int = 0,
-    focal: float = 160.0,
-    fly_height: float = 500.0,
-    plane: tuple[float, float, float] = (0.04, -0.03, 20.0),
-    baseline: float = 60.0,
-    tilt: float = 0.04,
+    focal: float = 200.0,
+    fly_height: float = 400.0,
+    plane: tuple[float, float, float] = (0.1, -0.08, 30.0),
+    baseline: float = 120.0,
+    tilt: float = 0.3,
 ) -> SyntheticScene:
+    # Geometry gives real stereo signal: d(disparity)/d(depth) = f·b/d² ≈
+    # 200·120/370² ≈ 0.18 px per depth unit, and the tilted plane spans ~85
+    # depth units across the frame — a ~15 px disparity sweep, so plane-sweep
+    # matching can actually localize depth (unlike a near-fronto setup).
     """Build a synthetic scene: view 0 is the nadir reference, the rest orbit it."""
     rng = np.random.RandomState(seed)
     K = np.array(
@@ -140,10 +163,12 @@ def make_scene(
             twc = np.array(
                 [baseline * np.cos(ang), baseline * np.sin(ang), fly_height + rng.uniform(-5, 5)]
             )
-            # small tilt toward the scene center keeps frusta overlapping
+            # tilt toward the scene center to keep frusta overlapping: for a
+            # camera at (b·cosθ, b·sinθ, h) the small-angle look-at solution is
+            # rx = -(b/h)·sinθ, ry = +(b/h)·cosθ (tilt ≈ baseline/fly_height)
             rwc = _rot_xyz(
-                tilt * np.sin(ang) + rng.uniform(-0.01, 0.01),
-                -tilt * np.cos(ang) + rng.uniform(-0.01, 0.01),
+                -tilt * np.sin(ang) + rng.uniform(-0.01, 0.01),
+                tilt * np.cos(ang) + rng.uniform(-0.01, 0.01),
                 rng.uniform(-0.02, 0.02),
             )
         image, depth = render_view(K, rwc, twc, height, width, plane)

@@ -1,0 +1,229 @@
+"""Ada-MVS: adaptive visibility-weighted cascade plane-sweep stereo.
+
+TPU-first re-design of the reference model family (models/adamvs.py):
+
+- ONE forward implementation serves training, evaluation, and full-resolution
+  streaming inference. The reference maintains two hand-written forks
+  (``AdaMVSNet`` building full cost volumes, adamvs.py:241-396, and
+  ``Infer_AdaMVSNet`` streaming one depth slice at a time with online-softmax
+  accumulation, adamvs.py:426-620). Here the fused-volume regularization is a
+  single ``nn.scan`` over depth hypotheses whose carry holds the ConvGRU states
+  and a *stabilized* online softmax (running max — mathematically identical to
+  the full softmax, unlike the reference's unguarded ``exp``,
+  adamvs.py:516).
+- Cost volumes are never materialized: each scan step warps all source views at
+  one hypothesis slice, fuses them with the per-view visibility weights, and
+  feeds one GRU step. XLA fuses warp+product+weighting per step; memory is
+  O(H·W) not O(D·H·W).
+- Stage-1 per-view matching (the visibility estimator): per source view, a
+  correlation volume mean_C(ref ⊙ warp) over D0 fronto-parallel planes is
+  regularized by a 2D U-Net with depth-as-channels (adamvs.py:268-288), giving
+  per-view confidence (max softmax prob) and per-view depth. Stage >= 2 reuses
+  these confidences, bilinearly resized, as fixed fusion weights
+  (adamvs.py:292-302) — that IS the published design.
+- Fusion normalization uses the Infer-form ``Σ(w·v) / (1e-5 + Σw)``
+  (adamvs.py:497-512); the train-form's ``(1e-5 + Σ(w·v)) / Σw``
+  (adamvs.py:262-290) differs only by the epsilon placement.
+
+Up-sampling chain: stage cells with ``up=True`` emit costs at 2x resolution
+(reference CostRegNetRED up path), so stage-1 depth lands at H/2, stage-2 at H,
+and stage-3 (up=False) stays at H — hypothesis windows for stage k+1 are built
+directly at stage k's output resolution (adamvs.py:368-375).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..nn.costreg import AdaRedCell, CostRegNet2D
+from ..nn.featurenet import AdaFeatureNet
+from ..ops.regression import (
+    online_softmax_finalize,
+    online_softmax_init,
+    online_softmax_update,
+    resize_bilinear,
+)
+from ..ops.sampling import uniform_depth_samples, window_min_and_interval
+from ..ops.warp import plane_sweep_warp
+
+# reference up-flags by stage index (adamvs.py:340,562-565): stages 1 and 2
+# upsample their regularized cost 2x, stage 3 does not.
+_UP_BY_STAGE = (True, True, False)
+
+
+def parse_depth_values(depth_values: jnp.ndarray, num_depth: int | None):
+    """(dmin [B], dmax [B], interval [B]) from the two input conventions:
+    train [B,3]=[min,max,interval] (adamvs.py:344-347) or predict
+    [B,2]=[min,max] with interval=(max-min)/num_depth (adamvs.py:569-571)."""
+    if depth_values.shape[-1] == 3:
+        return depth_values[:, 0], depth_values[:, 1], depth_values[:, 2]
+    if num_depth is None:
+        raise ValueError("depth_values [B,2] requires num_depth")
+    dmin, dmax = depth_values[:, 0], depth_values[:, 1]
+    return dmin, dmax, (dmax - dmin) / num_depth
+
+
+def correlation_volume(
+    ref_feat: jnp.ndarray,  # [B,h,w,C]
+    src_feat: jnp.ndarray,  # [B,h,w,C]
+    src_proj: jnp.ndarray,
+    ref_proj: jnp.ndarray,
+    hyp: jnp.ndarray,  # [B,D]
+    block: int = 16,
+) -> jnp.ndarray:
+    """Channel-mean correlation volume [B,h,w,D], built in depth blocks so the
+    [B,D,h,w,C] warp intermediate never materializes at full D."""
+    B, h, w, _ = ref_feat.shape
+    D = hyp.shape[1]
+    if D % block != 0:
+        block = D
+    nb = D // block
+    hyp_blocks = hyp.reshape(B, nb, block).transpose(1, 0, 2)  # [nb,B,block]
+
+    def one_block(hb):
+        warped = plane_sweep_warp(src_feat, src_proj, ref_proj, hb)  # [B,block,h,w,C]
+        return jnp.mean(ref_feat[:, None] * warped, axis=-1)  # [B,block,h,w]
+
+    out = jax.lax.map(one_block, hyp_blocks)  # [nb,B,block,h,w]
+    return out.transpose(1, 0, 2, 3, 4).reshape(B, D, h, w).transpose(0, 2, 3, 1)
+
+
+class _AdaFuseStreamCell(nn.Module):
+    """One depth-hypothesis step: warp all views, visibility-weighted fusion,
+    one recurrent-regularizer step, online-softmax accumulation."""
+
+    base: int
+    up: bool
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, carry, d, ref_feat, src_feats, src_projs, ref_proj, weights, lo, step):
+        red_carry, acc = carry
+        hyp = lo + d * step  # [B,h,w]
+        depth_arg = hyp[:, None]  # [B,1,h,w]
+
+        num_src = src_feats.shape[0]
+        wsum = jnp.float32(1e-5)
+        vsum = jnp.float32(0.0)
+        for v in range(num_src):
+            warped = plane_sweep_warp(src_feats[v], src_projs[v], ref_proj, depth_arg)[:, 0]
+            w_v = weights[..., v : v + 1]  # [B,h,w,1]
+            vsum = vsum + (ref_feat * warped) * w_v
+            wsum = wsum + w_v
+        fused = vsum / wsum  # [B,h,w,C]
+
+        red_carry, cost = AdaRedCell(self.base, self.up, dtype=self.dtype, name="cell")(
+            red_carry, fused
+        )
+        cost = cost[..., 0]  # [B,h',w']
+        if self.up:
+            hyp_acc = resize_bilinear(hyp, hyp.shape[1] * 2, hyp.shape[2] * 2)
+        else:
+            hyp_acc = hyp
+        acc = online_softmax_update(acc, cost, hyp_acc)
+        return (red_carry, acc), jnp.float32(0.0)
+
+
+class AdaMVS(nn.Module):
+    """Cascade orchestrator (reference AdaMVSNet adamvs.py:316-396 and
+    Infer_AdaMVSNet adamvs.py:537-620 unified)."""
+
+    ndepths: tuple[int, ...] = (48, 32, 8)
+    depth_intervals_ratio: tuple[float, ...] = (4.0, 2.0, 1.0)
+    base: int = 8
+    cr_base: tuple[int, ...] = (8, 8, 8)
+    warp_block: int = 16
+    use_remat: bool = True
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(
+        self,
+        imgs: jnp.ndarray,  # [B,V,H,W,3]
+        proj_matrices: dict[str, jnp.ndarray],  # {"stageK": [B,V,4,4]}
+        depth_values: jnp.ndarray,  # [B,3] train or [B,2] predict
+        train: bool = False,
+        num_depth: int | None = None,
+    ) -> dict:
+        B, V = imgs.shape[:2]
+        dmin, dmax, interval = parse_depth_values(depth_values, num_depth)
+
+        flat = imgs.reshape((B * V,) + imgs.shape[2:])
+        feats = AdaFeatureNet(
+            self.base, num_stages=len(self.ndepths), dtype=self.dtype, name="feature"
+        )(flat, train)
+        feats = {k: v.reshape((B, V) + v.shape[1:]) for k, v in feats.items()}
+
+        cell_cls = nn.remat(_AdaFuseStreamCell) if self.use_remat else _AdaFuseStreamCell
+        scan_cell = nn.scan(
+            cell_cls,
+            variable_broadcast="params",
+            split_rngs={"params": False},
+            in_axes=(0,) + (nn.broadcast,) * 7,
+            out_axes=0,
+        )
+
+        outputs: dict[str, Any] = {}
+        prev_depth = None
+        pair_conf = None  # [B,h1,w1,V-1]
+        for si in range(len(self.ndepths)):
+            key = f"stage{si + 1}"
+            D = self.ndepths[si]
+            feat = feats[key]
+            projs = proj_matrices[key]
+            ref_feat, src_feats = feat[:, 0], feat[:, 1:]
+            ref_proj, src_projs = projs[:, 0], projs[:, 1:]
+            src_feats = jnp.moveaxis(src_feats, 1, 0)  # [V-1,B,h,w,C]
+            src_projs = jnp.moveaxis(src_projs, 1, 0)  # [V-1,B,4,4]
+            h, w = ref_feat.shape[1:3]
+
+            pair_results: tuple = ()
+            if si == 0:
+                # stage-1 per-view matching -> visibility weights
+                hyp0 = uniform_depth_samples(jnp.stack([dmin, dmax], axis=1), D)  # [B,D]
+                reg2d = CostRegNet2D(D, dtype=self.dtype, name="reg2d")
+                confs, pds = [], []
+                for v in range(V - 1):
+                    corr = correlation_volume(
+                        ref_feat, src_feats[v], src_projs[v], ref_proj, hyp0, self.warp_block
+                    )
+                    prob = jax.nn.softmax(reg2d(corr, train), axis=-1)  # [B,h,w,D]
+                    confs.append(jnp.max(prob, axis=-1))
+                    pds.append(jnp.sum(prob * hyp0[:, None, None, :], axis=-1))
+                pair_conf = jnp.stack(confs, axis=-1)  # [B,h,w,V-1]
+                pair_results = tuple(pds)
+                weights = pair_conf
+                lo = jnp.broadcast_to(dmin[:, None, None], (B, h, w))
+                step = jnp.broadcast_to(
+                    ((dmax - dmin) / (D - 1))[:, None, None], (B, h, w)
+                )
+            else:
+                weights = jax.image.resize(pair_conf, (B, h, w, V - 1), method="linear")
+                step_interval = (self.depth_intervals_ratio[si] * interval)[:, None, None]
+                lo, step = window_min_and_interval(prev_depth, D, step_interval)
+
+            up = _UP_BY_STAGE[si]
+            out_h, out_w = (2 * h, 2 * w) if up else (h, w)
+            cell = scan_cell(self.cr_base[si], up, dtype=self.dtype, name=f"reg_fuse{si + 1}")
+            red_carry = AdaRedCell(self.cr_base[si], up).init_carry(B, h, w)
+            acc = online_softmax_init((B, out_h, out_w))
+            d_idx = jnp.arange(D, dtype=jnp.float32)
+            (red_carry, acc), _ = cell(
+                (red_carry, acc), d_idx, ref_feat, src_feats, src_projs, ref_proj, weights, lo, step
+            )
+            depth, conf = online_softmax_finalize(acc)
+
+            outputs[key] = {
+                "depth": depth,
+                "photometric_confidence": conf,
+                "pair_result": pair_results,
+                "pair_confidence": pair_conf,
+            }
+            prev_depth = depth
+
+        outputs.update(outputs[f"stage{len(self.ndepths)}"])
+        return outputs

@@ -1,0 +1,158 @@
+"""MS-REDNet: variance-aggregation cascade with a recurrent encoder-decoder.
+
+TPU-first re-design of the reference family (models/msrednet.py): like
+``AdaMVS``, ONE streaming implementation (depth-axis ``nn.scan`` with carried
+GRU states + stabilized online softmax) replaces the reference's
+``CascadeREDNet``/``Infer_CascadeREDNet`` fork (msrednet.py:246-334, 440-525).
+
+Per depth hypothesis: warp every source view, aggregate {ref, warps} by
+variance ``E[x²] - E[x]²`` (msrednet.py:214-231), run one step of the 4-level
+recurrent encoder-decoder (``RedCell``), accumulate online.
+
+Hypothesis geometry: the reference builds hypothesis volumes at FULL image
+resolution and trilinearly resizes them to [D, H/s, W/s] (msrednet.py:309-322).
+The depth axis keeps its size under that resize, so it reduces to a bilinear
+spatial resize per plane; since the window construction is affine in the plane
+index (``hyp_d = lo + d·step``), resizing commutes with it exactly — we resize
+the window maps (lo, step), not a [B,D,H,W] volume. The previous stage's depth
+is first bilinearly upsampled to full resolution (msrednet.py:304-306), then
+the window is formed and resized to stage resolution, preserving the
+reference's order of resampling operations.
+
+``share_cr`` is accepted for CLI parity but rejected: the reference's shared
+path passes a list where an int is required and would crash if enabled
+(msrednet.py:271).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..nn.costreg import RedCell
+from ..nn.featurenet import RedFeatureNet
+from ..ops.regression import (
+    online_softmax_finalize,
+    online_softmax_init,
+    online_softmax_update,
+    resize_bilinear,
+)
+from ..ops.sampling import window_min_and_interval
+from ..ops.warp import plane_sweep_warp
+from .adamvs import parse_depth_values
+
+
+class _RedStreamCell(nn.Module):
+    """One depth-hypothesis step: warp, variance aggregation, RED-GRU step,
+    online-softmax accumulation."""
+
+    base: int
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, carry, d, ref_feat, src_feats, src_projs, ref_proj, lo, step):
+        red_carry, acc = carry
+        hyp = lo + d * step  # [B,h,w]
+        depth_arg = hyp[:, None]
+
+        num_src = src_feats.shape[0]
+        num_views = num_src + 1
+        s = ref_feat
+        sq = ref_feat * ref_feat
+        for v in range(num_src):
+            warped = plane_sweep_warp(src_feats[v], src_projs[v], ref_proj, depth_arg)[:, 0]
+            s = s + warped
+            sq = sq + warped * warped
+        variance = sq / num_views - (s / num_views) ** 2  # [B,h,w,C]
+
+        red_carry, cost = RedCell(self.base, dtype=self.dtype, name="cell")(red_carry, variance)
+        acc = online_softmax_update(acc, cost[..., 0], hyp)
+        return (red_carry, acc), jnp.float32(0.0)
+
+
+class MSREDNet(nn.Module):
+    """Cascade orchestrator (reference CascadeREDNet msrednet.py:246-334)."""
+
+    ndepths: tuple[int, ...] = (48, 32, 8)
+    depth_intervals_ratio: tuple[float, ...] = (4.0, 2.0, 1.0)
+    base: int = 8
+    cr_base: tuple[int, ...] = (8, 8, 8)
+    arch_mode: str = "unet"
+    share_cr: bool = False
+    use_remat: bool = True
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(
+        self,
+        imgs: jnp.ndarray,
+        proj_matrices: dict[str, jnp.ndarray],
+        depth_values: jnp.ndarray,
+        train: bool = False,
+        num_depth: int | None = None,
+    ) -> dict:
+        if self.share_cr:
+            raise NotImplementedError(
+                "share_cr is broken in the reference (msrednet.py:271) and unsupported here"
+            )
+        B, V = imgs.shape[:2]
+        H, W = imgs.shape[2:4]
+        dmin, dmax, interval = parse_depth_values(depth_values, num_depth)
+
+        flat = imgs.reshape((B * V,) + imgs.shape[2:])
+        feats = RedFeatureNet(
+            self.base, num_stages=len(self.ndepths), arch_mode=self.arch_mode,
+            dtype=self.dtype, name="feature",
+        )(flat, train)
+        feats = {k: v.reshape((B, V) + v.shape[1:]) for k, v in feats.items()}
+
+        cell_cls = nn.remat(_RedStreamCell) if self.use_remat else _RedStreamCell
+        scan_cell = nn.scan(
+            cell_cls,
+            variable_broadcast="params",
+            split_rngs={"params": False},
+            in_axes=(0,) + (nn.broadcast,) * 6,
+            out_axes=0,
+        )
+
+        outputs: dict[str, Any] = {}
+        prev_depth = None
+        for si in range(len(self.ndepths)):
+            key = f"stage{si + 1}"
+            D = self.ndepths[si]
+            feat = feats[key]
+            projs = proj_matrices[key]
+            ref_feat, src_feats = feat[:, 0], feat[:, 1:]
+            ref_proj, src_projs = projs[:, 0], projs[:, 1:]
+            src_feats = jnp.moveaxis(src_feats, 1, 0)
+            src_projs = jnp.moveaxis(src_projs, 1, 0)
+            h, w = ref_feat.shape[1:3]
+
+            step_interval = (self.depth_intervals_ratio[si] * interval)[:, None, None]
+            if prev_depth is None:
+                lo = jnp.broadcast_to(dmin[:, None, None], (B, h, w))
+                step = jnp.broadcast_to(((dmax - dmin) / (D - 1))[:, None, None], (B, h, w))
+            else:
+                # reference order: prev depth -> full res, window at full res,
+                # volume trilinear-resized to stage res (see module docstring)
+                prev_full = resize_bilinear(prev_depth, H, W)
+                lo_f, step_f = window_min_and_interval(prev_full, D, step_interval)
+                lo = resize_bilinear(lo_f, h, w)
+                step = resize_bilinear(step_f, h, w)
+
+            cell = scan_cell(self.cr_base[si], dtype=self.dtype, name=f"reg{si + 1}")
+            red_carry = RedCell(self.cr_base[si]).init_carry(B, h, w)
+            acc = online_softmax_init((B, h, w))
+            d_idx = jnp.arange(D, dtype=jnp.float32)
+            (red_carry, acc), _ = cell(
+                (red_carry, acc), d_idx, ref_feat, src_feats, src_projs, ref_proj, lo, step
+            )
+            depth, conf = online_softmax_finalize(acc)
+            outputs[key] = {"depth": depth, "photometric_confidence": conf}
+            prev_depth = depth
+
+        outputs.update(outputs[f"stage{len(self.ndepths)}"])
+        return outputs

@@ -1,0 +1,75 @@
+"""Orbax checkpointing.
+
+Replaces the reference's ``torch.save({'epoch','model','optimizer'})`` scheme
+(train_whu.py:168-173, 201-207) with Orbax: params + batch_stats + opt_state +
+step/epoch, epoch checkpoints named ``model_{epoch:06d}[_{metric:.4f}]`` so the
+metric-tagged retention convention (``model_000019_0.1339.ckpt``) carries over.
+``--resume`` picks the latest by epoch number, as the reference sorts filenames
+(train_whu.py:120-129).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+import jax
+import orbax.checkpoint as ocp
+
+
+def _tree_for_save(state) -> dict:
+    return {
+        "params": state.params,
+        "batch_stats": state.batch_stats,
+        "opt_state": state.opt_state,
+        "step": state.step,
+        "nan_steps": state.nan_steps,
+    }
+
+
+def save_checkpoint(logdir: str, state, epoch: int, metric: float | None = None,
+                    tag: str | None = None) -> str:
+    name = f"model_{epoch:06d}"
+    if metric is not None:
+        name += f"_{metric:.4f}"
+    if tag is not None:
+        name += f"_{tag}"
+    path = os.path.abspath(os.path.join(logdir, name))
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(path, _tree_for_save(state), force=True)
+    return path
+
+
+_CKPT_RE = re.compile(r"^model_(\d{6})(?:_.*)?$")
+
+
+def latest_checkpoint(logdir: str) -> str | None:
+    if not os.path.isdir(logdir):
+        return None
+    best = None
+    for name in os.listdir(logdir):
+        m = _CKPT_RE.match(name)
+        if m and os.path.isdir(os.path.join(logdir, name)):
+            key = int(m.group(1))
+            if best is None or key >= best[0]:
+                best = (key, name)
+    return os.path.join(logdir, best[1]) if best else None
+
+
+def checkpoint_epoch(path: str) -> int:
+    m = _CKPT_RE.match(os.path.basename(path))
+    return int(m.group(1)) if m else 0
+
+
+def restore_checkpoint(path: str, state):
+    """Restore into an existing (abstract-compatible) state; returns new state."""
+    abstract = jax.tree_util.tree_map(ocp.utils.to_shape_dtype_struct, _tree_for_save(state))
+    with ocp.StandardCheckpointer() as ckptr:
+        restored = ckptr.restore(os.path.abspath(path), abstract)
+    return state.replace(
+        params=restored["params"],
+        batch_stats=restored["batch_stats"],
+        opt_state=restored["opt_state"],
+        step=restored["step"],
+        nan_steps=restored["nan_steps"],
+    )

