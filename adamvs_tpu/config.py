@@ -1,0 +1,92 @@
+"""Typed configuration dataclasses + the reference CLI flag surface.
+
+Replaces the reference's argparse-with-import-time-side-effects pattern
+(train_whu.py:23-62, predict_whu.py:22-51) with plain dataclasses parsed by
+``cli.py``; comma-string encodings (``"48,32,8"``, ``"10,12,14:2"``) are kept
+for flag-level compatibility.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+
+def parse_int_list(s: str) -> tuple[int, ...]:
+    return tuple(int(x) for x in s.split(",") if x)
+
+
+def parse_float_list(s: str) -> tuple[float, ...]:
+    return tuple(float(x) for x in s.split(",") if x)
+
+
+def parse_lrepochs(s: str) -> tuple[tuple[int, ...], float]:
+    """``"10,12,14:2"`` -> ((10,12,14), gamma=1/2) (train_whu.py:143-144)."""
+    epochs, down = s.split(":")
+    return parse_int_list(epochs), 1.0 / float(down)
+
+
+@dataclasses.dataclass
+class ModelConfig:
+    model: str = "adamvs"  # adamvs | msrednet
+    ndepths: tuple[int, ...] = (48, 32, 8)
+    depth_intervals_ratio: tuple[float, ...] = (4.0, 2.0, 1.0)
+    cr_base_chs: tuple[int, ...] = (8, 8, 8)
+    share_cr: bool = False
+    base_channels: int = 8
+
+    def build(self, **overrides):
+        from .models import build_model
+
+        kwargs = dict(
+            ndepths=self.ndepths,
+            depth_intervals_ratio=self.depth_intervals_ratio,
+            cr_base=self.cr_base_chs,
+            base=self.base_channels,
+        )
+        if self.model == "msrednet":
+            kwargs["share_cr"] = self.share_cr
+        kwargs.update(overrides)
+        return build_model(self.model, **kwargs)
+
+
+@dataclasses.dataclass
+class DataConfig:
+    dataset: str = "cas_total_rscv"  # accepted for parity; loaders keyed by set_name
+    set_name: str = "whu_omvs"
+    trainpath: str = ""
+    testpath: str = ""
+    view_num: int = 5
+    interval_scale: float = 1.0
+    batch_size: int = 1
+    num_workers: int = 2
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    epochs: int = 80
+    lr: float = 1e-3
+    lrepochs: str = "10,12,14:2"
+    wd: float = 0.0
+    summary_freq: int = 50
+    save_freq: int = 1
+    seed: int = 1
+    logdir: str = "./checkpoints/run"
+    resume: bool = False
+    loadckpt: str = ""
+    dlossw: tuple[float, ...] = (0.5, 1.0, 2.0)
+
+
+@dataclasses.dataclass
+class PredictConfig:
+    data_folder: str = ""
+    output_folder: str = ""
+    loadckpt: str = ""
+    view_num: int = 5
+    numdepth: int = 192
+    max_w: int = 3712
+    max_h: int = 5504
+    min_interval: float = 0.1
+    resize_scale: float = 0.5
+    sample_scale: float = 1.0
+    interval_scale: float = 1.0
+    display: bool = True

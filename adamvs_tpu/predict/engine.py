@@ -1,0 +1,169 @@
+"""Full-resolution streaming prediction engine.
+
+Replaces the reference's ``predict_whu.py`` driver: parses a predict-source
+directory, runs the streaming cascade per reference view, and writes outputs
+byte-layout-compatible with the reference
+(``{out}/{vid}/{name}_init.pfm``, ``_prob.pfm``, ref ``.jpg``, cam ``.txt``,
+``color/*.png`` — predict_whu.py:110-153).
+
+TPU-shaped concerns handled here rather than in the model:
+- **Static shapes**: inputs are zero-padded (bottom/right) to 32-multiples and
+  the outputs cropped back, so XLA compiles one executable per (V, H, W)
+  bucket. (The reference crops instead, silently producing non-32-multiple
+  inputs for small images — preprocess.py:68-99.)
+- **Work distribution**: the predict view list is sharded across hosts by
+  ``jax.process_index()`` (round-robin), the multi-host analog of the
+  reference's single-GPU loop.
+- **Memory**: the model's depth-axis scan keeps per-image memory at O(H·W);
+  no resolution-dependent volume materializes.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from PIL import Image
+
+from ..data.lists import PredictSource, PredictSpec
+from ..data.pipeline import PredictSample, load_predict_sample
+from ..geom.camera import legacy_cam_array
+from ..io.cams_text import write_red_cam
+from ..io.pfm import write_pfm
+
+
+def _pad_to_multiple(imgs: np.ndarray, base: int = 32) -> tuple[np.ndarray, int, int]:
+    """Zero-pad [V,H,W,3] bottom/right to multiples of ``base``."""
+    V, H, W, C = imgs.shape
+    ph = (-H) % base
+    pw = (-W) % base
+    if ph or pw:
+        imgs = np.pad(imgs, ((0, 0), (0, ph), (0, pw), (0, 0)))
+    return imgs, H, W
+
+
+def colorize_depth(depth: np.ndarray) -> np.ndarray:
+    """Reference color convention: visualize 36000 - depth with NaN scrubbing
+    (train_whu.py:253-257, predict_whu.py:133-147), viridis-mapped."""
+    img = 36000.0 - depth
+    img = np.where(np.isinf(img), np.nan, img)
+    if np.isnan(img).all():
+        img = np.zeros_like(img)
+    else:
+        img = np.where(np.isnan(img), np.nanmin(img) - 1, img)
+    lo, hi = img.min(), img.max()
+    norm = (img - lo) / (hi - lo + 1e-12)
+    import matplotlib.cm as cm
+
+    return (cm.viridis(norm)[..., :3] * 255).astype(np.uint8)
+
+
+def colorize_prob(prob: np.ndarray) -> np.ndarray:
+    import matplotlib.cm as cm
+
+    return (cm.viridis(np.nan_to_num(prob).clip(0, 1))[..., :3] * 255).astype(np.uint8)
+
+
+def save_prediction_outputs(
+    out_dir: str,
+    sample: PredictSample,
+    depth: np.ndarray,
+    prob: np.ndarray,
+    display: bool = True,
+) -> str:
+    folder = os.path.join(out_dir, sample.vid)
+    os.makedirs(os.path.join(folder, "color"), exist_ok=True)
+    name = sample.name
+    write_pfm(os.path.join(folder, f"{name}_init.pfm"), np.float32(depth))
+    write_pfm(os.path.join(folder, f"{name}_prob.pfm"), np.float32(prob))
+    Image.fromarray(sample.out_image).save(os.path.join(folder, f"{name}.jpg"))
+    write_red_cam(
+        os.path.join(folder, f"{name}.txt"), legacy_cam_array(sample.out_cam),
+        sample.ref_image_path,
+    )
+    if display:
+        Image.fromarray(colorize_depth(depth)).save(
+            os.path.join(folder, "color", f"{name}_init.png")
+        )
+        Image.fromarray(colorize_prob(prob)).save(
+            os.path.join(folder, "color", f"{name}_prob.png")
+        )
+    return folder
+
+
+class PredictEngine:
+    """Jit-cached streaming predictor over a fixed model + parameters."""
+
+    def __init__(
+        self,
+        model,
+        variables: dict,
+        num_depth: int = 192,
+        log_fn: Callable[[str], None] = print,
+    ):
+        self.model = model
+        self.variables = variables
+        self.num_depth = num_depth
+        self.log = log_fn
+        self._jitted: dict[tuple, Any] = {}
+
+    def _get_fn(self, shape_key: tuple):
+        if shape_key not in self._jitted:
+            def fwd(variables, imgs, projs, depth_values):
+                out = self.model.apply(
+                    variables, imgs, projs, depth_values, train=False,
+                    num_depth=self.num_depth,
+                )
+                return out["depth"], out["photometric_confidence"]
+
+            self._jitted[shape_key] = jax.jit(fwd)
+        return self._jitted[shape_key]
+
+    def predict_sample(self, sample: PredictSample) -> tuple[np.ndarray, np.ndarray]:
+        imgs, H, W = _pad_to_multiple(sample.imgs)
+        V = imgs.shape[0]
+        fn = self._get_fn((V,) + imgs.shape[1:3])
+        depth, prob = fn(
+            self.variables,
+            jnp.asarray(imgs[None]),
+            {k: jnp.asarray(v[None]) for k, v in sample.proj_matrices.items()},
+            jnp.asarray(sample.depth_values[None]),
+        )
+        depth = np.asarray(depth)[0][:H, :W]
+        prob = np.asarray(prob)[0][:H, :W]
+        return depth, prob
+
+    def run(
+        self,
+        source: PredictSource,
+        out_dir: str,
+        num_views: int | None = None,
+        display: bool = True,
+        load_kwargs: dict | None = None,
+    ) -> list[str]:
+        """Predict every work item assigned to this host; returns output dirs."""
+        os.makedirs(out_dir, exist_ok=True)
+        load_kwargs = load_kwargs or {}
+        n_hosts = jax.process_count()
+        host = jax.process_index()
+        written = []
+        t_start = time.time()
+        items = source.work_items[:num_views] if num_views else source.work_items
+        for i, spec in enumerate(items):
+            if i % n_hosts != host:
+                continue
+            t0 = time.time()
+            sample = load_predict_sample(source, spec, num_depth=self.num_depth, **load_kwargs)
+            depth, prob = self.predict_sample(sample)
+            t1 = time.time()
+            written.append(save_prediction_outputs(out_dir, sample, depth, prob, display))
+            self.log(
+                f"depth inference {i} ({sample.name}) done: "
+                f"{t1 - t0:.3f}s infer, {time.time() - t1:.3f}s save"
+            )
+        self.log(f"predict finished: {len(written)} views in {time.time() - t_start:.1f}s")
+        return written

@@ -61,15 +61,36 @@ def checkpoint_epoch(path: str) -> int:
     return int(m.group(1)) if m else 0
 
 
-def restore_checkpoint(path: str, state):
-    """Restore into an existing (abstract-compatible) state; returns new state."""
-    abstract = jax.tree_util.tree_map(ocp.utils.to_shape_dtype_struct, _tree_for_save(state))
+def restore_checkpoint(path: str, state, restore_opt: bool | None = None):
+    """Restore into an existing (abstract-compatible) state; returns new state.
+
+    ``restore_opt=None`` (default) restores the optimizer state only when its
+    checkpointed structure matches the current optimizer — an eval/predict
+    run built with a different optimizer chain (e.g. constant lr vs schedule)
+    still restores params/batch_stats/step cleanly.
+    """
+    path = os.path.abspath(path)
+    tree = _tree_for_save(state)
+    abstract = jax.tree_util.tree_map(ocp.utils.to_shape_dtype_struct, tree)
+    restored = None
     with ocp.StandardCheckpointer() as ckptr:
-        restored = ckptr.restore(os.path.abspath(path), abstract)
+        if restore_opt is None:
+            try:
+                restored = ckptr.restore(path, abstract)
+                restore_opt = True
+            except Exception:
+                restored = None
+    if restored is None or restore_opt is False:
+        partial = {k: v for k, v in abstract.items() if k != "opt_state"}
+        with ocp.Checkpointer(ocp.PyTreeCheckpointHandler()) as ckptr:
+            restored = ckptr.restore(
+                path, args=ocp.args.PyTreeRestore(item=partial, partial_restore=True)
+            )
+        restore_opt = False
     return state.replace(
         params=restored["params"],
         batch_stats=restored["batch_stats"],
-        opt_state=restored["opt_state"],
+        opt_state=restored["opt_state"] if restore_opt else state.opt_state,
         step=restored["step"],
         nan_steps=restored["nan_steps"],
     )

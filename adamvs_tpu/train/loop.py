@@ -18,6 +18,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..ops.regression import resize_bilinear
 from .checkpoint import checkpoint_epoch, latest_checkpoint, restore_checkpoint, save_checkpoint
 from .metrics import eval_metrics
 from .state import TrainState, apply_updates_if_finite
@@ -55,11 +56,12 @@ def make_eval_step(loss_fn: Callable, dlossw, num_stages: int) -> Callable:
         )
         loss, depth_loss = loss_fn(out, batch["depth"], batch["mask"], dlossw)
         metrics = {"loss": loss, "depth_loss": depth_loss}
+        gt = batch["depth"][final]
+        # stage cells with up=True can emit depth above the final stage's GT
+        # resolution (e.g. a 2-stage cascade ends at full res vs stage2 GT)
+        depth_est = resize_bilinear(out["depth"], gt.shape[-2], gt.shape[-1])
         metrics.update(
-            eval_metrics(
-                out["depth"], batch["depth"][final], batch["mask"][final],
-                batch["depth_interval"],
-            )
+            eval_metrics(depth_est, gt, batch["mask"][final], batch["depth_interval"])
         )
         return metrics, out["depth"], out["photometric_confidence"]
 

@@ -1,0 +1,96 @@
+"""End-to-end CLI tests on synthetic fixture trees: the minimum slice of
+SURVEY.md §7 — train a step, evaluate with exports, and run the streaming
+predict engine, all through the public CLI."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from adamvs_tpu.cli import main
+from adamvs_tpu.io.pfm import read_pfm
+
+TINY_FLAGS = [
+    "--ndepths", "8,4",
+    "--depth_inter_r", "4,2",
+    "--cr_base_chs", "4,4",
+]
+
+
+@pytest.fixture(scope="module")
+def trees(tmp_path_factory, synthetic_scene):
+    from adamvs_tpu.data.synthetic import write_predict_source_tree, write_whu_omvs_tree
+
+    train_root = str(tmp_path_factory.mktemp("whu"))
+    write_whu_omvs_tree(train_root, synthetic_scene)
+    pred_root = write_predict_source_tree(
+        str(tmp_path_factory.mktemp("pred") / "source"), synthetic_scene
+    )
+    return train_root, pred_root
+
+
+def test_cli_train_one_epoch(trees, tmp_path):
+    train_root, _ = trees
+    logdir = str(tmp_path / "logs")
+    main([
+        "train", *TINY_FLAGS,
+        "--trainpath", train_root, "--logdir", logdir,
+        "--epochs", "1", "--view_num", "3", "--num_workers", "1",
+        "--dlossw", "0.5,1.0", "--summary_freq", "1",
+    ])
+    # checkpoint + metric records written
+    ckpts = [d for d in os.listdir(logdir) if d.startswith("model_")]
+    assert ckpts, os.listdir(logdir)
+    lines = open(os.path.join(logdir, "metrics.jsonl")).read().strip().splitlines()
+    recs = [json.loads(l) for l in lines]
+    assert any(r["kind"] == "train" for r in recs)
+    assert any(r["kind"] == "val" for r in recs)
+    val = [r for r in recs if r["kind"] == "val"][-1]
+    assert np.isfinite(val["abs_depth_error"])
+    assert os.path.exists(os.path.join(logdir, "train_record.txt"))
+
+
+def test_cli_test_exports(trees, tmp_path):
+    train_root, _ = trees
+    main([
+        "test", *TINY_FLAGS,
+        "--testpath", train_root, "--view_num", "3",
+        "--dlossw", "0.5,1.0", "--logdir", str(tmp_path / "nolog"),
+    ])
+    out_root = os.path.join(train_root, "depths_whu_omvs")
+    assert os.path.isdir(out_root)
+    vids = os.listdir(out_root)
+    assert vids
+    files = os.listdir(os.path.join(out_root, vids[0]))
+    assert any(f.endswith("_init.pfm") for f in files)
+    assert any(f.endswith("_prob.pfm") for f in files)
+    # pfm loads back at GT resolution
+    pfm = [f for f in files if f.endswith("_init.pfm")][0]
+    depth, _ = read_pfm(os.path.join(out_root, vids[0], pfm))
+    assert depth.ndim == 2 and np.isfinite(depth).all()
+
+
+def test_cli_predict(trees, tmp_path):
+    _, pred_root = trees
+    out = str(tmp_path / "mvs_out")
+    main([
+        "predict", *TINY_FLAGS,
+        "--data_folder", pred_root, "--output_folder", out,
+        "--view_num", "3", "--numdepth", "32",
+        "--resize_scale", "1.0", "--max_h", "512", "--max_w", "512",
+    ])
+    vids = os.listdir(out)
+    assert vids
+    vdir = os.path.join(out, vids[0])
+    names = os.listdir(vdir)
+    assert any(n.endswith("_init.pfm") for n in names)
+    assert any(n.endswith(".txt") for n in names)
+    assert os.path.isdir(os.path.join(vdir, "color"))
+    # cam txt round-trips through the red-cam layout
+    cam_txt = [n for n in names if n.endswith(".txt")][0]
+    text = open(os.path.join(vdir, cam_txt)).read()
+    assert text.startswith("extrinsic: XrightYdown")
+    pfm = [n for n in names if n.endswith("_init.pfm")][0]
+    depth, _ = read_pfm(os.path.join(vdir, pfm))
+    assert np.isfinite(depth).all()
