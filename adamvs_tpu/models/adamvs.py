@@ -85,7 +85,9 @@ def correlation_volume(
     hyp_blocks = hyp.reshape(B, nb, block).transpose(1, 0, 2)  # [nb,B,block]
 
     def one_block(hb):
-        warped = plane_sweep_warp(src_feat, src_proj, ref_proj, hb)  # [B,block,h,w,C]
+        warped = plane_sweep_warp(
+            src_feat, src_proj, ref_proj, hb, grid_hw=(h, w)
+        )  # [B,block,h,w,C]
         return jnp.mean(ref_feat[:, None] * warped, axis=-1)  # [B,block,h,w]
 
     out = jax.lax.map(one_block, hyp_blocks)  # [nb,B,block,h,w]
@@ -140,6 +142,12 @@ class AdaMVS(nn.Module):
     use_remat: bool = True
     dtype: Any = None
 
+    def feature_module(self) -> nn.Module:
+        """Standalone feature net matching the 'feature' submodule — apply it
+        with ``variables['params']['feature']`` (+ batch_stats) to precompute
+        the pyramid for the tiled predict path."""
+        return AdaFeatureNet(self.base, num_stages=len(self.ndepths), dtype=self.dtype, parent=None)
+
     @nn.compact
     def __call__(
         self,
@@ -148,15 +156,28 @@ class AdaMVS(nn.Module):
         depth_values: jnp.ndarray,  # [B,3] train or [B,2] predict
         train: bool = False,
         num_depth: int | None = None,
+        features: dict[str, jnp.ndarray] | None = None,
     ) -> dict:
-        B, V = imgs.shape[:2]
+        """``features`` (optional): precomputed pyramid — either
+        {"stageK": [B,V,h,w,C]} or {"stageK": (ref [B,h,w,C], srcs [V-1,B,H,W,C])}.
+        The tuple form lets a row-band reference sample full source frames
+        (tile-sharded predict, predict/tiled.py); ``imgs`` may be None then."""
         dmin, dmax, interval = parse_depth_values(depth_values, num_depth)
 
-        flat = imgs.reshape((B * V,) + imgs.shape[2:])
-        feats = AdaFeatureNet(
-            self.base, num_stages=len(self.ndepths), dtype=self.dtype, name="feature"
-        )(flat, train)
-        feats = {k: v.reshape((B, V) + v.shape[1:]) for k, v in feats.items()}
+        if features is None:
+            B, V = imgs.shape[:2]
+            flat = imgs.reshape((B * V,) + imgs.shape[2:])
+            feats = AdaFeatureNet(
+                self.base, num_stages=len(self.ndepths), dtype=self.dtype, name="feature"
+            )(flat, train)
+            feats = {k: v.reshape((B, V) + v.shape[1:]) for k, v in feats.items()}
+        else:
+            feats = features
+            first = feats["stage1"]
+            if isinstance(first, tuple):
+                B, V = first[0].shape[0], first[1].shape[0] + 1
+            else:
+                B, V = first.shape[:2]
 
         cell_cls = nn.remat(_AdaFuseStreamCell) if self.use_remat else _AdaFuseStreamCell
         scan_cell = nn.scan(
@@ -175,9 +196,12 @@ class AdaMVS(nn.Module):
             D = self.ndepths[si]
             feat = feats[key]
             projs = proj_matrices[key]
-            ref_feat, src_feats = feat[:, 0], feat[:, 1:]
+            if isinstance(feat, tuple):
+                ref_feat, src_feats = feat
+            else:
+                ref_feat = feat[:, 0]
+                src_feats = jnp.moveaxis(feat[:, 1:], 1, 0)  # [V-1,B,h,w,C]
             ref_proj, src_projs = projs[:, 0], projs[:, 1:]
-            src_feats = jnp.moveaxis(src_feats, 1, 0)  # [V-1,B,h,w,C]
             src_projs = jnp.moveaxis(src_projs, 1, 0)  # [V-1,B,4,4]
             h, w = ref_feat.shape[1:3]
 

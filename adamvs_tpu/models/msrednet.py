@@ -85,6 +85,12 @@ class MSREDNet(nn.Module):
     use_remat: bool = True
     dtype: Any = None
 
+    def feature_module(self) -> nn.Module:
+        return RedFeatureNet(
+            self.base, num_stages=len(self.ndepths), arch_mode=self.arch_mode,
+            dtype=self.dtype, parent=None,
+        )
+
     @nn.compact
     def __call__(
         self,
@@ -93,21 +99,32 @@ class MSREDNet(nn.Module):
         depth_values: jnp.ndarray,
         train: bool = False,
         num_depth: int | None = None,
+        features: dict[str, jnp.ndarray] | None = None,
     ) -> dict:
         if self.share_cr:
             raise NotImplementedError(
                 "share_cr is broken in the reference (msrednet.py:271) and unsupported here"
             )
-        B, V = imgs.shape[:2]
-        H, W = imgs.shape[2:4]
         dmin, dmax, interval = parse_depth_values(depth_values, num_depth)
 
-        flat = imgs.reshape((B * V,) + imgs.shape[2:])
-        feats = RedFeatureNet(
-            self.base, num_stages=len(self.ndepths), arch_mode=self.arch_mode,
-            dtype=self.dtype, name="feature",
-        )(flat, train)
-        feats = {k: v.reshape((B, V) + v.shape[1:]) for k, v in feats.items()}
+        if features is None:
+            B, V = imgs.shape[:2]
+            H, W = imgs.shape[2:4]
+            flat = imgs.reshape((B * V,) + imgs.shape[2:])
+            feats = RedFeatureNet(
+                self.base, num_stages=len(self.ndepths), arch_mode=self.arch_mode,
+                dtype=self.dtype, name="feature",
+            )(flat, train)
+            feats = {k: v.reshape((B, V) + v.shape[1:]) for k, v in feats.items()}
+        else:
+            feats = features
+            last = feats[f"stage{len(self.ndepths)}"]
+            if isinstance(last, tuple):
+                B, V = last[0].shape[0], last[1].shape[0] + 1
+                H, W = last[0].shape[1:3]  # last stage runs at full (band) res
+            else:
+                B, V = last.shape[:2]
+                H, W = last.shape[2:4]
 
         cell_cls = nn.remat(_RedStreamCell) if self.use_remat else _RedStreamCell
         scan_cell = nn.scan(
@@ -125,9 +142,12 @@ class MSREDNet(nn.Module):
             D = self.ndepths[si]
             feat = feats[key]
             projs = proj_matrices[key]
-            ref_feat, src_feats = feat[:, 0], feat[:, 1:]
+            if isinstance(feat, tuple):
+                ref_feat, src_feats = feat
+            else:
+                ref_feat = feat[:, 0]
+                src_feats = jnp.moveaxis(feat[:, 1:], 1, 0)
             ref_proj, src_projs = projs[:, 0], projs[:, 1:]
-            src_feats = jnp.moveaxis(src_feats, 1, 0)
             src_projs = jnp.moveaxis(src_projs, 1, 0)
             h, w = ref_feat.shape[1:3]
 

@@ -96,13 +96,25 @@ def bilinear_sample(feat: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray) -> jnp.nd
 
 
 def plane_sweep_warp(
-    src_feat: jnp.ndarray,  # [B,H,W,C]
+    src_feat: jnp.ndarray,  # [B,Hs,Ws,C]
     src_proj: jnp.ndarray,  # [B,4,4]
     ref_proj: jnp.ndarray,  # [B,4,4]
-    depth: jnp.ndarray,  # [B,D] or [B,D,H,W]
+    depth: jnp.ndarray,  # [B,D] or [B,D,H,W] (H,W = reference grid)
+    grid_hw: tuple[int, int] | None = None,
 ) -> jnp.ndarray:
-    """Warp source features to the reference frustum. Returns [B,D,H,W,C]."""
-    B, H, W, C = src_feat.shape
+    """Warp source features to the reference frustum. Returns [B,D,H,W,C].
+
+    The reference pixel grid is (H, W): taken from ``depth`` when it is
+    per-pixel, from ``grid_hw`` when given, else from the source shape. A
+    reference grid smaller than the source supports row-band (tile-sharded)
+    processing, where the ref band samples the full source frame.
+    """
+    if depth.ndim == 4:
+        H, W = depth.shape[2:4]
+    elif grid_hw is not None:
+        H, W = grid_hw
+    else:
+        H, W = src_feat.shape[1:3]
     rot, trans = warp_transform(src_proj, ref_proj)
     u, v = _source_coords(rot, trans, depth, H, W)
     u = jax.lax.stop_gradient(u)

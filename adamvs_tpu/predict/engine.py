@@ -104,23 +104,37 @@ class PredictEngine:
         variables: dict,
         num_depth: int = 192,
         log_fn: Callable[[str], None] = print,
+        tile_mesh=None,
+        halo: int | None = None,
     ):
+        """``tile_mesh``: a Mesh with a 'tile' axis — shards each frame's rows
+        across devices (predict/tiled.py). None = single-device per frame."""
         self.model = model
         self.variables = variables
         self.num_depth = num_depth
         self.log = log_fn
+        self.tile_mesh = tile_mesh
+        self.halo = halo
         self._jitted: dict[tuple, Any] = {}
 
     def _get_fn(self, shape_key: tuple):
         if shape_key not in self._jitted:
-            def fwd(variables, imgs, projs, depth_values):
-                out = self.model.apply(
-                    variables, imgs, projs, depth_values, train=False,
-                    num_depth=self.num_depth,
-                )
-                return out["depth"], out["photometric_confidence"]
+            if self.tile_mesh is not None:
+                from .tiled import HALO_ROWS, make_tiled_predict_fn
 
-            self._jitted[shape_key] = jax.jit(fwd)
+                self._jitted[shape_key] = make_tiled_predict_fn(
+                    self.model, self.tile_mesh, self.num_depth,
+                    halo=self.halo or HALO_ROWS,
+                )
+            else:
+                def fwd(variables, imgs, projs, depth_values):
+                    out = self.model.apply(
+                        variables, imgs, projs, depth_values, train=False,
+                        num_depth=self.num_depth,
+                    )
+                    return out["depth"], out["photometric_confidence"]
+
+                self._jitted[shape_key] = jax.jit(fwd)
         return self._jitted[shape_key]
 
     def predict_sample(self, sample: PredictSample) -> tuple[np.ndarray, np.ndarray]:
