@@ -49,6 +49,7 @@ from ..ops.regression import (
 )
 from ..ops.sampling import uniform_depth_samples, window_min_and_interval
 from ..ops.warp import plane_sweep_warp
+from ..ops.warp_banded import plane_sweep_warp_banded
 
 # reference up-flags by stage index (adamvs.py:340,562-565): stages 1 and 2
 # upsample their regularized cost 2x, stage 3 does not.
@@ -67,6 +68,25 @@ def parse_depth_values(depth_values: jnp.ndarray, num_depth: int | None):
     return dmin, dmax, (dmax - dmin) / num_depth
 
 
+def get_warp_fn(impl: str, bands: tuple[int, int] = (32, 256)):
+    """Select the plane-sweep warp implementation: 'gather' (XLA gather —
+    exact everywhere, slow on TPU) or 'banded' (MXU block-banded one-hot —
+    TPU-fast; see ops/warp_banded.py for the band semantics)."""
+    if impl == "gather":
+        return plane_sweep_warp
+    if impl == "banded":
+        rb, cb = bands
+
+        def fn(src_feat, src_proj, ref_proj, depth, grid_hw=None):
+            return plane_sweep_warp_banded(
+                src_feat, src_proj, ref_proj, depth, grid_hw=grid_hw,
+                row_band=rb, col_band=cb,
+            )
+
+        return fn
+    raise ValueError(f"unknown warp_impl {impl!r}")
+
+
 def correlation_volume(
     ref_feat: jnp.ndarray,  # [B,h,w,C]
     src_feat: jnp.ndarray,  # [B,h,w,C]
@@ -74,6 +94,7 @@ def correlation_volume(
     ref_proj: jnp.ndarray,
     hyp: jnp.ndarray,  # [B,D]
     block: int = 16,
+    warp_fn=plane_sweep_warp,
 ) -> jnp.ndarray:
     """Channel-mean correlation volume [B,h,w,D], built in depth blocks so the
     [B,D,h,w,C] warp intermediate never materializes at full D."""
@@ -85,7 +106,7 @@ def correlation_volume(
     hyp_blocks = hyp.reshape(B, nb, block).transpose(1, 0, 2)  # [nb,B,block]
 
     def one_block(hb):
-        warped = plane_sweep_warp(
+        warped = warp_fn(
             src_feat, src_proj, ref_proj, hb, grid_hw=(h, w)
         )  # [B,block,h,w,C]
         return jnp.mean(ref_feat[:, None] * warped, axis=-1)  # [B,block,h,w]
@@ -100,6 +121,8 @@ class _AdaFuseStreamCell(nn.Module):
 
     base: int
     up: bool
+    warp_impl: str = "gather"
+    warp_bands: tuple[int, int] = (32, 256)
     dtype: Any = None
 
     @nn.compact
@@ -108,11 +131,12 @@ class _AdaFuseStreamCell(nn.Module):
         hyp = lo + d * step  # [B,h,w]
         depth_arg = hyp[:, None]  # [B,1,h,w]
 
+        warp_fn = get_warp_fn(self.warp_impl, self.warp_bands)
         num_src = src_feats.shape[0]
         wsum = jnp.float32(1e-5)
         vsum = jnp.float32(0.0)
         for v in range(num_src):
-            warped = plane_sweep_warp(src_feats[v], src_projs[v], ref_proj, depth_arg)[:, 0]
+            warped = warp_fn(src_feats[v], src_projs[v], ref_proj, depth_arg)[:, 0]
             w_v = weights[..., v : v + 1]  # [B,h,w,1]
             vsum = vsum + (ref_feat * warped) * w_v
             wsum = wsum + w_v
@@ -139,6 +163,8 @@ class AdaMVS(nn.Module):
     base: int = 8
     cr_base: tuple[int, ...] = (8, 8, 8)
     warp_block: int = 16
+    warp_impl: str = "gather"
+    warp_bands: tuple[int, int] = (32, 256)
     use_remat: bool = True
     dtype: Any = None
 
@@ -211,9 +237,11 @@ class AdaMVS(nn.Module):
                 hyp0 = uniform_depth_samples(jnp.stack([dmin, dmax], axis=1), D)  # [B,D]
                 reg2d = CostRegNet2D(D, dtype=self.dtype, name="reg2d")
                 confs, pds = [], []
+                warp_fn = get_warp_fn(self.warp_impl, self.warp_bands)
                 for v in range(V - 1):
                     corr = correlation_volume(
-                        ref_feat, src_feats[v], src_projs[v], ref_proj, hyp0, self.warp_block
+                        ref_feat, src_feats[v], src_projs[v], ref_proj, hyp0,
+                        self.warp_block, warp_fn,
                     )
                     prob = jax.nn.softmax(reg2d(corr, train), axis=-1)  # [B,h,w,D]
                     confs.append(jnp.max(prob, axis=-1))
@@ -232,7 +260,10 @@ class AdaMVS(nn.Module):
 
             up = _UP_BY_STAGE[si]
             out_h, out_w = (2 * h, 2 * w) if up else (h, w)
-            cell = scan_cell(self.cr_base[si], up, dtype=self.dtype, name=f"reg_fuse{si + 1}")
+            cell = scan_cell(
+                self.cr_base[si], up, self.warp_impl, self.warp_bands,
+                dtype=self.dtype, name=f"reg_fuse{si + 1}",
+            )
             red_carry = AdaRedCell(self.cr_base[si], up).init_carry(B, h, w)
             acc = online_softmax_init((B, out_h, out_w))
             d_idx = jnp.arange(D, dtype=jnp.float32)

@@ -42,7 +42,7 @@ from ..ops.regression import (
 )
 from ..ops.sampling import window_min_and_interval
 from ..ops.warp import plane_sweep_warp
-from .adamvs import parse_depth_values
+from .adamvs import get_warp_fn, parse_depth_values
 
 
 class _RedStreamCell(nn.Module):
@@ -50,6 +50,8 @@ class _RedStreamCell(nn.Module):
     online-softmax accumulation."""
 
     base: int
+    warp_impl: str = "gather"
+    warp_bands: tuple[int, int] = (32, 256)
     dtype: Any = None
 
     @nn.compact
@@ -58,12 +60,13 @@ class _RedStreamCell(nn.Module):
         hyp = lo + d * step  # [B,h,w]
         depth_arg = hyp[:, None]
 
+        warp_fn = get_warp_fn(self.warp_impl, self.warp_bands)
         num_src = src_feats.shape[0]
         num_views = num_src + 1
         s = ref_feat
         sq = ref_feat * ref_feat
         for v in range(num_src):
-            warped = plane_sweep_warp(src_feats[v], src_projs[v], ref_proj, depth_arg)[:, 0]
+            warped = warp_fn(src_feats[v], src_projs[v], ref_proj, depth_arg)[:, 0]
             s = s + warped
             sq = sq + warped * warped
         variance = sq / num_views - (s / num_views) ** 2  # [B,h,w,C]
@@ -82,6 +85,8 @@ class MSREDNet(nn.Module):
     cr_base: tuple[int, ...] = (8, 8, 8)
     arch_mode: str = "unet"
     share_cr: bool = False
+    warp_impl: str = "gather"
+    warp_bands: tuple[int, int] = (32, 256)
     use_remat: bool = True
     dtype: Any = None
 
@@ -163,7 +168,10 @@ class MSREDNet(nn.Module):
                 lo = resize_bilinear(lo_f, h, w)
                 step = resize_bilinear(step_f, h, w)
 
-            cell = scan_cell(self.cr_base[si], dtype=self.dtype, name=f"reg{si + 1}")
+            cell = scan_cell(
+                self.cr_base[si], self.warp_impl, self.warp_bands,
+                dtype=self.dtype, name=f"reg{si + 1}",
+            )
             red_carry = RedCell(self.cr_base[si]).init_carry(B, h, w)
             acc = online_softmax_init((B, h, w))
             d_idx = jnp.arange(D, dtype=jnp.float32)

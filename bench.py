@@ -20,10 +20,14 @@ Usage: python bench.py [--small] [--iters N] [--model adamvs|msrednet]
 
 import argparse
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+# amortize the (remote) TPU compile across runs
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
 
 REF_GPU_DEPTH_MAPS_PER_S = 0.1  # documented estimate, see module docstring
 
