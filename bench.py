@@ -32,13 +32,17 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
 REF_GPU_DEPTH_MAPS_PER_S = 0.1  # documented estimate, see module docstring
 
 
-def run_bench(height, width, views, numdepth, iters, model_name, warmup=1):
+def run_bench(height, width, views, numdepth, iters, model_name, warmup=1,
+              warp_impl="gather", dtype=None):
     import jax
     import jax.numpy as jnp
 
     from adamvs_tpu.models import build_model
 
-    model = build_model(model_name)
+    kw = {"warp_impl": warp_impl}
+    if dtype == "bf16":
+        kw["dtype"] = jnp.bfloat16
+    model = build_model(model_name, **kw)
     rng = np.random.RandomState(0)
     B, V = 1, views
     imgs = jnp.asarray(rng.randn(B, V, height, width, 3).astype(np.float32))
@@ -95,6 +99,8 @@ def main():
     ap.add_argument("--height", type=int, default=None)
     ap.add_argument("--width", type=int, default=None)
     ap.add_argument("--numdepth", type=int, default=192)
+    ap.add_argument("--warp_impl", default="banded", choices=["gather", "banded"])
+    ap.add_argument("--dtype", default="f32", choices=["f32", "bf16"])
     args = ap.parse_args()
 
     if args.small:
@@ -106,7 +112,10 @@ def main():
     if args.width:
         w = args.width
 
-    sec_per_map = run_bench(h, w, 5, nd, args.iters, args.model)
+    sec_per_map = run_bench(
+        h, w, 5, nd, args.iters, args.model,
+        warp_impl=args.warp_impl, dtype=args.dtype,
+    )
     maps_per_s = 1.0 / sec_per_map
     result = {
         "metric": f"{args.model}_predict_{h}x{w}_d{nd}_depth_maps_per_s_per_chip",
