@@ -50,6 +50,7 @@ from ..ops.regression import (
 from ..ops.sampling import uniform_depth_samples, window_min_and_interval
 from ..ops.warp import plane_sweep_warp
 from ..ops.warp_banded import plane_sweep_warp_banded
+from ..ops.warp_pallas import plane_sweep_warp_pallas
 
 # reference up-flags by stage index (adamvs.py:340,562-565): stages 1 and 2
 # upsample their regularized cost 2x, stage 3 does not.
@@ -70,8 +71,8 @@ def parse_depth_values(depth_values: jnp.ndarray, num_depth: int | None):
 
 def get_warp_fn(impl: str, bands: tuple[int, int] = (32, 256)):
     """Select the plane-sweep warp implementation: 'gather' (XLA gather —
-    exact everywhere, slow on TPU) or 'banded' (MXU block-banded one-hot —
-    TPU-fast; see ops/warp_banded.py for the band semantics)."""
+    exact everywhere, slow on TPU), 'banded' (MXU block-banded one-hot,
+    pure XLA), or 'pallas' (hand-scheduled kernel; see ops/warp_pallas.py)."""
     if impl == "gather":
         return plane_sweep_warp
     if impl == "banded":
@@ -79,6 +80,16 @@ def get_warp_fn(impl: str, bands: tuple[int, int] = (32, 256)):
 
         def fn(src_feat, src_proj, ref_proj, depth, grid_hw=None):
             return plane_sweep_warp_banded(
+                src_feat, src_proj, ref_proj, depth, grid_hw=grid_hw,
+                row_band=rb, col_band=cb,
+            )
+
+        return fn
+    if impl == "pallas":
+        rb, cb = bands
+
+        def fn(src_feat, src_proj, ref_proj, depth, grid_hw=None):
+            return plane_sweep_warp_pallas(
                 src_feat, src_proj, ref_proj, depth, grid_hw=grid_hw,
                 row_band=rb, col_band=cb,
             )

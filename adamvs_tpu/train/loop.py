@@ -109,6 +109,14 @@ class Trainer:
         self.eval_step = make_eval_step(loss_fn, dlossw, num_stages)
         os.makedirs(logdir, exist_ok=True)
         self._jsonl = open(os.path.join(logdir, "metrics.jsonl"), "a")
+        # TensorBoard scalars (reference save_scalars, utils.py:117-126);
+        # optional — jsonl stays the source of truth
+        try:
+            from tensorboardX import SummaryWriter
+
+            self._tb = SummaryWriter(logdir)
+        except Exception:
+            self._tb = None
 
     def resume(self) -> int:
         """Restore the latest checkpoint; returns the next epoch index."""
@@ -126,6 +134,9 @@ class Trainer:
     def _record(self, kind: str, step: int, scalars: dict[str, float]):
         self._jsonl.write(json.dumps({"kind": kind, "step": step, **scalars}) + "\n")
         self._jsonl.flush()
+        if self._tb is not None:
+            for k, val in scalars.items():
+                self._tb.add_scalar(f"{kind}/{k}", val, step)
 
     def train_epoch(self, epoch: int, batches) -> dict[str, float]:
         meter = AverageMeter()
