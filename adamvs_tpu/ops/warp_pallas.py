@@ -34,42 +34,52 @@ def _sample_kernel(
     vmin_ref,  # scalar-prefetch [T]
     umin_ref,  # scalar-prefetch [T]
     img_ref,  # scalar-prefetch [T] image index per tile
-    uu_ref,  # [1, P] VMEM
-    vv_ref,  # [1, P] VMEM
-    feat_ref,  # [BN, H, W, C] ANY/HBM
+    uu_ref,  # [1, 1, P] VMEM
+    vv_ref,  # [1, 1, P] VMEM
+    feat_ref,  # [B, C, H, W] channel-first, ANY/HBM
     out_ref,  # [1, P, C] VMEM
-    band_ref,  # scratch [rb, cb, C]
+    band_ref,  # scratch [C, rb, cb]
     sem,
     *,
     rb: int,
     cb: int,
 ):
     t = pl.program_id(0)
-    vm = vmin_ref[t]
-    um = umin_ref[t]
+    # offsets are pre-aligned on the host: Mosaic requires provable 8-row /
+    # 128-lane divisibility for dynamic DMA slicing
+    vm = pl.multiple_of(vmin_ref[t], 8)
+    um = pl.multiple_of(umin_ref[t], 128)
     img = img_ref[t]
 
     copy = pltpu.make_async_copy(
-        feat_ref.at[img, pl.ds(vm, rb), pl.ds(um, cb), :], band_ref, sem
+        feat_ref.at[img, :, pl.ds(vm, rb), pl.ds(um, cb)], band_ref, sem
     )
     copy.start()
 
-    P = uu_ref.shape[1]
+    P = uu_ref.shape[2]
     C = out_ref.shape[2]
-    lu = uu_ref[0, :] - um.astype(jnp.float32)  # [P]
-    lv = vv_ref[0, :] - vm.astype(jnp.float32)
+    lu = uu_ref[0, 0, :] - um.astype(jnp.float32)  # [P]
+    lv = vv_ref[0, 0, :] - vm.astype(jnp.float32)
 
-    x_idx = jax.lax.broadcasted_iota(jnp.float32, (P, cb), 1)
+    # Mosaic iota is integer-only
+    x_idx = jax.lax.broadcasted_iota(jnp.int32, (P, cb), 1).astype(jnp.float32)
     wx = jnp.maximum(0.0, 1.0 - jnp.abs(lu[:, None] - x_idx))  # [P, cb]
-    r_idx = jax.lax.broadcasted_iota(jnp.float32, (P, rb), 1)
+    r_idx = jax.lax.broadcasted_iota(jnp.int32, (P, rb), 1).astype(jnp.float32)
     wy = jnp.maximum(0.0, 1.0 - jnp.abs(lv[:, None] - r_idx))  # [P, rb]
 
     copy.wait()
-    band = band_ref[...]  # [rb, cb, C]
-    band_t = jnp.transpose(band, (1, 0, 2)).reshape(cb, rb * C)
-    hor = jnp.dot(wx, band_t, preferred_element_type=jnp.float32)  # [P, rb*C]
-    hor = hor.reshape(P, rb, C)
-    out_ref[0, :, :] = jnp.sum(wy[:, :, None] * hor, axis=1)
+    # per-channel: horizontal contraction on the MXU (rhs contracted on its x
+    # axis — no transpose or reshape, which Mosaic's layout pass can't merge),
+    # then the rb-sized vertical combine on the VPU
+    outs = []
+    for c in range(C):
+        band_c = band_ref[c]  # [rb, cb]
+        hor_c = jax.lax.dot_general(
+            wx, band_c, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [P, rb]
+        outs.append(jnp.sum(wy * hor_c, axis=1, keepdims=True))  # [P, 1]
+    out_ref[0, :, :] = jnp.concatenate(outs, axis=1)
 
 
 @functools.partial(
@@ -89,8 +99,17 @@ def banded_bilinear_sample_pallas(
     B, H, W, C = feat.shape
     N = u.shape[1]
     h, w = u.shape[2], u.shape[3]
-    rb = min(row_band, H)
-    cb = min(col_band, W)
+    # zero-pad the source to DMA-aligned dims: padded texels contribute zero,
+    # exactly the zeros-padding semantics for samples past the true border
+    fh = (-H) % 8
+    fw = (-W) % 128
+    if fh or fw:
+        feat = jnp.pad(feat, ((0, 0), (0, fh), (0, fw), (0, 0)))
+        H, W = H + fh, W + fw
+    # band sizes padded by the DMA alignment slack (offsets rounded down to
+    # 8-row / 128-lane boundaries), then themselves aligned
+    rb = min(-(-(row_band + 8) // 8) * 8, H)
+    cb = min(-(-(col_band + 128) // 128) * 128, W)
 
     ph = (-h) % tile_h
     pw = (-w) % tile_w
@@ -114,28 +133,35 @@ def banded_bilinear_sample_pallas(
     safe_v = jnp.where(jnp.abs(vv) < big, vv, big)
     umin = jnp.clip(jnp.floor(jnp.min(safe_u, axis=-1)), 0, W - cb).astype(jnp.int32)
     vmin = jnp.clip(jnp.floor(jnp.min(safe_v, axis=-1)), 0, H - rb).astype(jnp.int32)
+    umin = (umin // 128) * 128
+    vmin = (vmin // 8) * 8
     img_idx = (jnp.arange(T, dtype=jnp.int32) // tiles_per_im) // N
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(T,),
         in_specs=[
-            pl.BlockSpec((1, P), lambda i, *_: (i, 0)),
-            pl.BlockSpec((1, P), lambda i, *_: (i, 0)),
-            pl.BlockSpec(memory_space=pl.ANY),
+            # [T,1,P] with (1,1,P) blocks satisfies Mosaic's (8,128) tiling
+            # rule (trailing dims equal to the array's)
+            pl.BlockSpec((1, 1, P), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((1, 1, P), lambda i, *_: (i, 0, 0)),
+            # source stays in HBM; bands are DMA'd per tile (pl.ANY let the
+            # compiler pull the whole image into VMEM, which cannot scale)
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
         ],
         out_specs=pl.BlockSpec((1, P, C), lambda i, *_: (i, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((rb, cb, C), feat.dtype),
+            pltpu.VMEM((C, rb, cb), feat.dtype),
             pltpu.SemaphoreType.DMA,
         ],
     )
+    feat_cf = jnp.transpose(feat, (0, 3, 1, 2))  # channel-first for clean 2D band slices
     out = pl.pallas_call(
         functools.partial(_sample_kernel, rb=rb, cb=cb),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((T, P, C), jnp.float32),
         interpret=interpret,
-    )(vmin, umin, img_idx, uu, vv, feat)
+    )(vmin, umin, img_idx, uu[:, None, :], vv[:, None, :], feat_cf)
 
     out = out.reshape(B, N, nty, ntx, tile_h, tile_w, C)
     out = out.transpose(0, 1, 2, 4, 3, 5, 6).reshape(B, N, hp, wp, C)

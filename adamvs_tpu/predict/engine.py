@@ -151,6 +151,31 @@ class PredictEngine:
         prob = np.asarray(prob)[0][:H, :W]
         return depth, prob
 
+    def predict_batch(self, samples: list[PredictSample]) -> list[tuple[np.ndarray, np.ndarray]]:
+        """Batched forward over same-shape samples — the serial depth
+        recurrence leaves tiny per-step convs latency-bound at B=1, so
+        batching frames is the main single-chip throughput lever."""
+        padded = [_pad_to_multiple(s.imgs) for s in samples]
+        H, W = padded[0][1], padded[0][2]
+        imgs = np.stack([p[0] for p in padded])
+        V = imgs.shape[1]
+        fn = self._get_fn((len(samples), V) + imgs.shape[2:4])
+        depth, prob = fn(
+            self.variables,
+            jnp.asarray(imgs),
+            {
+                k: jnp.asarray(np.stack([s.proj_matrices[k] for s in samples]))
+                for k in samples[0].proj_matrices
+            },
+            jnp.asarray(np.stack([s.depth_values for s in samples])),
+        )
+        depth = np.asarray(depth)
+        prob = np.asarray(prob)
+        return [
+            (depth[i][: p[1], : p[2]], prob[i][: p[1], : p[2]])
+            for i, p in enumerate(padded)
+        ]
+
     def run(
         self,
         source: PredictSource,
@@ -158,6 +183,7 @@ class PredictEngine:
         num_views: int | None = None,
         display: bool = True,
         load_kwargs: dict | None = None,
+        batch_size: int = 1,
     ) -> list[str]:
         """Predict every work item assigned to this host; returns output dirs."""
         os.makedirs(out_dir, exist_ok=True)
@@ -167,17 +193,24 @@ class PredictEngine:
         written = []
         t_start = time.time()
         items = source.work_items[:num_views] if num_views else source.work_items
-        for i, spec in enumerate(items):
-            if i % n_hosts != host:
-                continue
+        mine = [(i, spec) for i, spec in enumerate(items) if i % n_hosts == host]
+        for b0 in range(0, len(mine), batch_size):
+            chunk = mine[b0 : b0 + batch_size]
             t0 = time.time()
-            sample = load_predict_sample(source, spec, num_depth=self.num_depth, **load_kwargs)
-            depth, prob = self.predict_sample(sample)
+            samples = [
+                load_predict_sample(source, spec, num_depth=self.num_depth, **load_kwargs)
+                for _, spec in chunk
+            ]
+            if len(samples) == 1 or self.tile_mesh is not None:
+                results = [self.predict_sample(s) for s in samples]
+            else:
+                results = self.predict_batch(samples)
             t1 = time.time()
-            written.append(save_prediction_outputs(out_dir, sample, depth, prob, display))
-            self.log(
-                f"depth inference {i} ({sample.name}) done: "
-                f"{t1 - t0:.3f}s infer, {time.time() - t1:.3f}s save"
-            )
+            for (i, _), sample, (depth, prob) in zip(chunk, samples, results):
+                written.append(save_prediction_outputs(out_dir, sample, depth, prob, display))
+                self.log(
+                    f"depth inference {i} ({sample.name}) done: "
+                    f"{(t1 - t0) / len(chunk):.3f}s infer, {(time.time() - t1) / len(chunk):.3f}s save"
+                )
         self.log(f"predict finished: {len(written)} views in {time.time() - t_start:.1f}s")
         return written

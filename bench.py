@@ -33,7 +33,7 @@ REF_GPU_DEPTH_MAPS_PER_S = 0.1  # documented estimate, see module docstring
 
 
 def run_bench(height, width, views, numdepth, iters, model_name, warmup=1,
-              warp_impl="gather", dtype=None):
+              warp_impl="gather", dtype=None, batch=1):
     import jax
     import jax.numpy as jnp
 
@@ -44,7 +44,7 @@ def run_bench(height, width, views, numdepth, iters, model_name, warmup=1,
         kw["dtype"] = jnp.bfloat16
     model = build_model(model_name, **kw)
     rng = np.random.RandomState(0)
-    B, V = 1, views
+    B, V = batch, views
     imgs = jnp.asarray(rng.randn(B, V, height, width, 3).astype(np.float32))
     proj = np.tile(np.eye(4, dtype=np.float32), (B, V, 1, 1))
     # plausible aerial camera geometry (focal ~2200px at half-res, small baselines)
@@ -101,6 +101,8 @@ def main():
     ap.add_argument("--numdepth", type=int, default=192)
     ap.add_argument("--warp_impl", default="banded", choices=["gather", "banded", "pallas"])
     ap.add_argument("--dtype", default="f32", choices=["f32", "bf16"])
+    ap.add_argument("--batch", type=int, default=1,
+                    help="frames per step; amortizes the serial depth recurrence")
     args = ap.parse_args()
 
     if args.small:
@@ -112,11 +114,11 @@ def main():
     if args.width:
         w = args.width
 
-    sec_per_map = run_bench(
+    sec_per_batch = run_bench(
         h, w, 5, nd, args.iters, args.model,
-        warp_impl=args.warp_impl, dtype=args.dtype,
+        warp_impl=args.warp_impl, dtype=args.dtype, batch=args.batch,
     )
-    maps_per_s = 1.0 / sec_per_map
+    maps_per_s = args.batch / sec_per_batch
     result = {
         "metric": f"{args.model}_predict_{h}x{w}_d{nd}_depth_maps_per_s_per_chip",
         "value": round(maps_per_s, 5),
