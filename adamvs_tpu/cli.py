@@ -30,12 +30,23 @@ from .config import (
 )
 
 
+def _maybe_distributed(args):
+    if getattr(args, "distributed", False):
+        from .parallel import initialize_distributed
+
+        initialize_distributed()
+
+
 def _add_model_flags(p: argparse.ArgumentParser):
     p.add_argument("--model", default="adamvs", choices=["adamvs", "msrednet"])
     p.add_argument("--ndepths", default="48,32,8")
     p.add_argument("--depth_inter_r", default="4,2,1")
     p.add_argument("--cr_base_chs", default="8,8,8")
     p.add_argument("--share_cr", action="store_true")
+    p.add_argument("--warp_impl", default="gather", choices=["gather", "banded", "pallas"])
+    p.add_argument("--compute_dtype", default="f32", choices=["f32", "bf16"])
+    p.add_argument("--distributed", action="store_true",
+                   help="initialize the multi-host JAX runtime (parallel/distributed.py)")
 
 
 def _model_config(args) -> ModelConfig:
@@ -45,6 +56,8 @@ def _model_config(args) -> ModelConfig:
         depth_intervals_ratio=parse_float_list(args.depth_inter_r),
         cr_base_chs=parse_int_list(args.cr_base_chs),
         share_cr=args.share_cr,
+        warp_impl=args.warp_impl,
+        dtype=args.compute_dtype,
     )
 
 
@@ -66,6 +79,7 @@ def _first_sample_shape(specs, data: DataConfig):
 
 
 def cmd_train(args):
+    _maybe_distributed(args)
     from .data.lists import build_sample_list
     from .data.loader import batch_iterator
     from .models import model_loss
@@ -123,6 +137,7 @@ def cmd_train(args):
 
 
 def cmd_test(args):
+    _maybe_distributed(args)
     """Evaluate on the test split and export depth/prob/color outputs
     (reference test(), train_whu.py:213-262)."""
     from .data.lists import build_sample_list
@@ -180,6 +195,7 @@ def cmd_test(args):
 
 
 def cmd_predict(args):
+    _maybe_distributed(args)
     from .data.lists import build_predict_list
     from .predict import PredictEngine
     from .train import create_train_state, make_optimizer, restore_checkpoint
@@ -226,6 +242,7 @@ def cmd_predict(args):
 
 
 def cmd_profile(args):
+    _maybe_distributed(args)
     """Warmup + profiled eval iterations with a Perfetto/TensorBoard trace
     (reference profile(), train_whu.py:345-373)."""
     from .data.lists import build_sample_list

@@ -33,8 +33,12 @@ class ModelConfig:
     cr_base_chs: tuple[int, ...] = (8, 8, 8)
     share_cr: bool = False
     base_channels: int = 8
+    warp_impl: str = "gather"  # gather | banded | pallas
+    dtype: str = "f32"  # f32 | bf16
 
     def build(self, **overrides):
+        import jax.numpy as jnp
+
         from .models import build_model
 
         kwargs = dict(
@@ -42,7 +46,10 @@ class ModelConfig:
             depth_intervals_ratio=self.depth_intervals_ratio,
             cr_base=self.cr_base_chs,
             base=self.base_channels,
+            warp_impl=self.warp_impl,
         )
+        if self.dtype == "bf16":
+            kwargs["dtype"] = jnp.bfloat16
         if self.model == "msrednet":
             kwargs["share_cr"] = self.share_cr
         kwargs.update(overrides)

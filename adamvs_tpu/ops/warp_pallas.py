@@ -79,7 +79,7 @@ def _sample_kernel(
             preferred_element_type=jnp.float32,
         )  # [P, rb]
         outs.append(jnp.sum(wy * hor_c, axis=1, keepdims=True))  # [P, 1]
-    out_ref[0, :, :] = jnp.concatenate(outs, axis=1)
+    out_ref[0, :, :] = jnp.concatenate(outs, axis=1).astype(out_ref.dtype)
 
 
 @functools.partial(
@@ -91,9 +91,9 @@ def banded_bilinear_sample_pallas(
     u: jnp.ndarray,  # [B,N,h,w]
     v: jnp.ndarray,  # [B,N,h,w]
     tile_h: int = 8,
-    tile_w: int = 128,
+    tile_w: int = 64,
     row_band: int = 32,
-    col_band: int = 256,
+    col_band: int = 192,
     interpret: bool = False,
 ) -> jnp.ndarray:
     B, H, W, C = feat.shape
@@ -159,7 +159,7 @@ def banded_bilinear_sample_pallas(
     out = pl.pallas_call(
         functools.partial(_sample_kernel, rb=rb, cb=cb),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((T, P, C), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((T, P, C), feat.dtype),
         interpret=interpret,
     )(vmin, umin, img_idx, uu[:, None, :], vv[:, None, :], feat_cf)
 
@@ -175,9 +175,9 @@ def plane_sweep_warp_pallas(
     depth: jnp.ndarray,
     grid_hw: tuple[int, int] | None = None,
     tile_h: int = 8,
-    tile_w: int = 128,
+    tile_w: int = 64,
     row_band: int = 32,
-    col_band: int = 256,
+    col_band: int = 192,
     interpret: bool = False,
 ) -> jnp.ndarray:
     if depth.ndim == 4:
