@@ -231,13 +231,19 @@ def cmd_predict(args):
         state = restore_checkpoint(pc.loadckpt, state)
         variables = {"params": state.params, "batch_stats": state.batch_stats}
 
-    engine = PredictEngine(model, variables, num_depth=pc.numdepth)
+    tile_mesh = None
+    if args.tiles > 1:
+        from .parallel import make_mesh
+
+        tile_mesh = make_mesh(data=1, tile=args.tiles)
+    engine = PredictEngine(model, variables, num_depth=pc.numdepth, tile_mesh=tile_mesh)
     engine.run(
         source, pc.output_folder, display=pc.display,
         load_kwargs=dict(
             resize_scale=pc.resize_scale, max_h=pc.max_h, max_w=pc.max_w,
             sample_scale=pc.sample_scale,
         ),
+        batch_size=args.predict_batch,
     )
 
 
@@ -336,6 +342,10 @@ def build_parser() -> argparse.ArgumentParser:
     pp.add_argument("--sample_scale", type=float, default=1.0)
     pp.add_argument("--interval_scale", type=float, default=1.0)
     pp.add_argument("--display", type=lambda s: s.lower() != "false", default=True)
+    pp.add_argument("--predict_batch", type=int, default=1,
+                    help="frames per device step (amortizes the serial depth recurrence)")
+    pp.add_argument("--tiles", type=int, default=1,
+                    help="shard each frame's rows over this many devices (tile mesh)")
     pp.set_defaults(fn=cmd_predict)
 
     pf = sub.add_parser("profile")

@@ -186,6 +186,8 @@ class PredictEngine:
         batch_size: int = 1,
     ) -> list[str]:
         """Predict every work item assigned to this host; returns output dirs."""
+        import concurrent.futures as cf
+
         os.makedirs(out_dir, exist_ok=True)
         load_kwargs = load_kwargs or {}
         n_hosts = jax.process_count()
@@ -194,13 +196,26 @@ class PredictEngine:
         t_start = time.time()
         items = source.work_items[:num_views] if num_views else source.work_items
         mine = [(i, spec) for i, spec in enumerate(items) if i % n_hosts == host]
-        for b0 in range(0, len(mine), batch_size):
-            chunk = mine[b0 : b0 + batch_size]
-            t0 = time.time()
-            samples = [
-                load_predict_sample(source, spec, num_depth=self.num_depth, **load_kwargs)
+
+        # host-side decode overlaps device compute: prefetch the next chunk
+        pool = cf.ThreadPoolExecutor(max_workers=2)
+
+        def submit(chunk):
+            return [
+                pool.submit(
+                    load_predict_sample, source, spec, num_depth=self.num_depth,
+                    **load_kwargs,
+                )
                 for _, spec in chunk
             ]
+
+        chunks = [mine[b0 : b0 + batch_size] for b0 in range(0, len(mine), batch_size)]
+        pending = submit(chunks[0]) if chunks else None
+        for ci, chunk in enumerate(chunks):
+            t0 = time.time()
+            futures = pending
+            pending = submit(chunks[ci + 1]) if ci + 1 < len(chunks) else None
+            samples = [f.result() for f in futures]
             if len(samples) == 1 or self.tile_mesh is not None:
                 results = [self.predict_sample(s) for s in samples]
             else:
@@ -212,5 +227,6 @@ class PredictEngine:
                     f"depth inference {i} ({sample.name}) done: "
                     f"{(t1 - t0) / len(chunk):.3f}s infer, {(time.time() - t1) / len(chunk):.3f}s save"
                 )
+        pool.shutdown(wait=False)
         self.log(f"predict finished: {len(written)} views in {time.time() - t_start:.1f}s")
         return written

@@ -33,13 +33,15 @@ REF_GPU_DEPTH_MAPS_PER_S = 0.1  # documented estimate, see module docstring
 
 
 def run_bench(height, width, views, numdepth, iters, model_name, warmup=1,
-              warp_impl="gather", dtype=None, batch=1):
+              warp_impl="gather", dtype=None, batch=1, bands=None):
     import jax
     import jax.numpy as jnp
 
     from adamvs_tpu.models import build_model
 
     kw = {"warp_impl": warp_impl}
+    if bands is not None:
+        kw["warp_bands"] = tuple(bands)
     if dtype == "bf16":
         kw["dtype"] = jnp.bfloat16
     model = build_model(model_name, **kw)
@@ -103,6 +105,8 @@ def main():
     ap.add_argument("--dtype", default="f32", choices=["f32", "bf16"])
     ap.add_argument("--batch", type=int, default=1,
                     help="frames per step; amortizes the serial depth recurrence")
+    ap.add_argument("--bands", default=None,
+                    help="row_band,col_band for banded/pallas warps (e.g. 16,128)")
     args = ap.parse_args()
 
     if args.small:
@@ -117,6 +121,7 @@ def main():
     sec_per_batch = run_bench(
         h, w, 5, nd, args.iters, args.model,
         warp_impl=args.warp_impl, dtype=args.dtype, batch=args.batch,
+        bands=[int(x) for x in args.bands.split(",")] if args.bands else None,
     )
     maps_per_s = args.batch / sec_per_batch
     result = {
