@@ -101,6 +101,7 @@ def plane_sweep_warp(
     ref_proj: jnp.ndarray,  # [B,4,4]
     depth: jnp.ndarray,  # [B,D] or [B,D,H,W] (H,W = reference grid)
     grid_hw: tuple[int, int] | None = None,
+    grid_dtype=None,
 ) -> jnp.ndarray:
     """Warp source features to the reference frustum. Returns [B,D,H,W,C].
 
@@ -108,6 +109,12 @@ def plane_sweep_warp(
     per-pixel, from ``grid_hw`` when given, else from the source shape. A
     reference grid smaller than the source supports row-band (tile-sharded)
     processing, where the ref band samples the full source frame.
+
+    ``grid_dtype=jnp.float64`` computes the transform + sample coordinates in
+    double precision (reference ``homo_warping_double``, module.py:571-612 —
+    useful for very long focal lengths where f32 pixel coords lose ulps).
+    Requires ``jax_enable_x64``; sampling weights are cast back to the feature
+    dtype.
     """
     if depth.ndim == 4:
         H, W = depth.shape[2:4]
@@ -115,8 +122,15 @@ def plane_sweep_warp(
         H, W = grid_hw
     else:
         H, W = src_feat.shape[1:3]
+    if grid_dtype is not None:
+        src_proj = src_proj.astype(grid_dtype)
+        ref_proj = ref_proj.astype(grid_dtype)
+        depth = depth.astype(grid_dtype)
     rot, trans = warp_transform(src_proj, ref_proj)
     u, v = _source_coords(rot, trans, depth, H, W)
+    if grid_dtype is not None:
+        u = u.astype(src_feat.dtype)
+        v = v.astype(src_feat.dtype)
     u = jax.lax.stop_gradient(u)
     v = jax.lax.stop_gradient(v)
     return bilinear_sample(src_feat, u, v)
