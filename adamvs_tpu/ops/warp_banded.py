@@ -35,6 +35,9 @@ import jax.numpy as jnp
 from .warp import _source_coords, warp_transform
 
 
+MEM_BUDGET_BYTES = 256 * 1024 * 1024  # cap on the live per-chunk hat intermediate
+
+
 def banded_bilinear_sample(
     feat: jnp.ndarray,  # [B,H,W,C]
     u: jnp.ndarray,  # [B,N,h,w]
@@ -44,7 +47,13 @@ def banded_bilinear_sample(
     row_band: int = 32,
     col_band: int = 256,
 ) -> jnp.ndarray:
-    """Sample feat at (u, v); returns [B,N,h,w,C]."""
+    """Sample feat at (u, v); returns [B,N,h,w,C].
+
+    Memory is bounded: the [P, rb, C] hat-contraction intermediate exists for
+    at most one ``lax.map`` chunk of tiles at a time (chunk sized so the live
+    intermediate stays under ``MEM_BUDGET_BYTES``), so full-aerial-resolution
+    sweeps compile in fixed HBM instead of materializing every tile at once.
+    """
     B, H, W, C = feat.shape
     N = u.shape[1]
     h, w = u.shape[2], u.shape[3]
@@ -84,21 +93,48 @@ def banded_bilinear_sample(
         lu = uu_t - um
         wy = jnp.maximum(0.0, 1.0 - jnp.abs(lv[:, None] - r_idx[None, :]))  # [P,rb]
         wx = jnp.maximum(0.0, 1.0 - jnp.abs(lu[:, None] - c_idx[None, :]))  # [P,cb]
-        vert = jnp.einsum(
-            "pr,rxc->pxc", wy, band, preferred_element_type=jnp.float32
+        # horizontal-first: the intermediate is [P, rb, C] (rb << cb), the cb
+        # contraction runs on the MXU, the rb combine on the VPU
+        hor = jnp.einsum(
+            "px,rxc->prc", wx, band, preferred_element_type=jnp.float32
         )
-        return jnp.einsum("px,pxc->pc", wx, vert, preferred_element_type=jnp.float32)
+        return jnp.einsum("pr,prc->pc", wy, hor, preferred_element_type=jnp.float32)
 
     tiles_per_im = nty * ntx
     feat_b = jnp.repeat(feat, N, axis=0) if N > 1 else feat  # [B*N,H,W,C]
-    uu = uu.reshape(B * N, tiles_per_im, P)
-    vv = vv.reshape(B * N, tiles_per_im, P)
-    umin = umin.reshape(B * N, tiles_per_im)
-    vmin = vmin.reshape(B * N, tiles_per_im)
+    BN = B * N
+    uu = uu.reshape(BN, tiles_per_im, P)
+    vv = vv.reshape(BN, tiles_per_im, P)
+    umin = umin.reshape(BN, tiles_per_im)
+    vmin = vmin.reshape(BN, tiles_per_im)
 
-    out = jax.vmap(  # over B*N
+    per_tile_bytes = P * rb * C * 4
+    chunk = max(1, MEM_BUDGET_BYTES // max(1, BN * per_tile_bytes))
+    inner = jax.vmap(  # over B*N x chunk tiles
         jax.vmap(one_tile, in_axes=(None, 0, 0, 0, 0))
-    )(feat_b, uu, vv, umin, vmin)  # [B*N, nt, P, C]
+    )
+
+    if chunk >= tiles_per_im:
+        out = inner(feat_b, uu, vv, umin, vmin)  # [BN, nt, P, C]
+    else:
+        nc = -(-tiles_per_im // chunk)
+        pad_t = nc * chunk - tiles_per_im
+        if pad_t:
+            # dummy tiles: far-out coords sample to zero; cropped below
+            uu = jnp.pad(uu, ((0, 0), (0, pad_t), (0, 0)), constant_values=-big)
+            vv = jnp.pad(vv, ((0, 0), (0, pad_t), (0, 0)), constant_values=-big)
+            umin = jnp.pad(umin, ((0, 0), (0, pad_t)))
+            vmin = jnp.pad(vmin, ((0, 0), (0, pad_t)))
+
+        def to_chunks(x):  # [BN, nc*chunk, ...] -> [nc, BN, chunk, ...]
+            return jnp.moveaxis(x.reshape((BN, nc, chunk) + x.shape[2:]), 1, 0)
+
+        out = jax.lax.map(
+            lambda a: inner(feat_b, *a),
+            (to_chunks(uu), to_chunks(vv), to_chunks(umin), to_chunks(vmin)),
+        )  # [nc, BN, chunk, P, C]
+        out = jnp.moveaxis(out, 0, 1).reshape(BN, nc * chunk, P, C)
+        out = out[:, :tiles_per_im]
 
     out = out.reshape(B, N, nty, ntx, tile_h, tile_w, C)
     out = out.transpose(0, 1, 2, 4, 3, 5, 6).reshape(B, N, hp, wp, C)
