@@ -51,6 +51,7 @@ from ..ops.sampling import uniform_depth_samples, window_min_and_interval
 from ..ops.warp import plane_sweep_warp
 from ..ops.warp_banded import plane_sweep_warp_banded
 from ..ops.warp_pallas import plane_sweep_warp_pallas
+from ..ops.warp_pallas2 import plane_sweep_warp_pallas2
 
 # reference up-flags by stage index (adamvs.py:340,562-565): stages 1 and 2
 # upsample their regularized cost 2x, stage 3 does not.
@@ -90,6 +91,20 @@ def get_warp_fn(impl: str, bands: tuple[int, int] = (32, 256)):
 
         def fn(src_feat, src_proj, ref_proj, depth, grid_hw=None):
             return plane_sweep_warp_pallas(
+                src_feat, src_proj, ref_proj, depth, grid_hw=grid_hw,
+                row_band=rb, col_band=cb,
+            )
+
+        return fn
+    if impl == "pallas2":
+        # merged-lane kernel: band knobs are spans, not padded sizes — halve
+        # the v1-style (row, col) bands passed through the shared config knob
+        rb, cb = bands
+        rb = min(rb, 16)
+        cb = min(cb, 112)
+
+        def fn(src_feat, src_proj, ref_proj, depth, grid_hw=None):
+            return plane_sweep_warp_pallas2(
                 src_feat, src_proj, ref_proj, depth, grid_hw=grid_hw,
                 row_band=rb, col_band=cb,
             )

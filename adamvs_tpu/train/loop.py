@@ -138,16 +138,40 @@ class Trainer:
             for k, val in scalars.items():
                 self._tb.add_scalar(f"{kind}/{k}", val, step)
 
+    def _record_images(self, kind: str, step: int, batch, depth_est):
+        """Depth/GT/error image summaries (reference save_images,
+        utils.py:127-147: per-image min-max normalized grids)."""
+        if self._tb is None:
+            return
+        final = f"stage{len(batch['depth'])}" if isinstance(batch["depth"], dict) else None
+        gt = batch["depth"][final] if final else batch["depth"]
+        mask = batch["mask"][final] if final else batch["mask"]
+        est = np.asarray(depth_est[0], np.float32)
+        gtn = np.asarray(gt[0], np.float32)
+        mk = np.asarray(mask[0], np.float32)
+        if est.shape != gtn.shape:
+            est = np.asarray(resize_bilinear(jnp.asarray(est), gtn.shape[0], gtn.shape[1]))
+
+        def norm(img):
+            lo, hi = float(img.min()), float(img.max())
+            return (img - lo) / max(hi - lo, 1e-6)
+
+        err = np.abs(est - gtn) * mk
+        self._tb.add_image(f"{kind}/depth_est", norm(est)[None], step)
+        self._tb.add_image(f"{kind}/depth_gt", norm(gtn)[None], step)
+        self._tb.add_image(f"{kind}/errormap", norm(err)[None], step)
+
     def train_epoch(self, epoch: int, batches) -> dict[str, float]:
         meter = AverageMeter()
         for i, batch in enumerate(batches):
             t0 = time.time()
-            self.state, metrics, _ = self.train_step(self.state, batch)
+            self.state, metrics, depth_est = self.train_step(self.state, batch)
             step = int(self.state.step)
             scalars = {k: float(v) for k, v in metrics.items()}
             meter.update(scalars)
             if step % self.summary_freq == 0:
                 self._record("train", step, scalars)
+                self._record_images("train", step, batch, depth_est)
             self.log(
                 f"Epoch {epoch}, iter {i}, loss={scalars['loss']:.4f}, "
                 f"time={time.time() - t0:.3f}s"

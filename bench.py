@@ -101,7 +101,7 @@ def main():
     ap.add_argument("--height", type=int, default=None)
     ap.add_argument("--width", type=int, default=None)
     ap.add_argument("--numdepth", type=int, default=192)
-    ap.add_argument("--warp_impl", default="banded", choices=["gather", "banded", "pallas"])
+    ap.add_argument("--warp_impl", default="banded", choices=["gather", "banded", "pallas", "pallas2"])
     ap.add_argument("--dtype", default="f32", choices=["f32", "bf16"])
     ap.add_argument("--batch", type=int, default=1,
                     help="frames per step; amortizes the serial depth recurrence")

@@ -1,0 +1,67 @@
+"""Merged-lane Pallas kernel (v2) == XLA gather reference (interpret mode)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from adamvs_tpu.ops import bilinear_sample
+from adamvs_tpu.ops.warp_pallas2 import banded_bilinear_sample_pallas2
+
+
+def test_pallas2_matches_gather_smooth():
+    rng = np.random.RandomState(0)
+    H, W, C = 64, 128, 8
+    feat = jnp.asarray(rng.randn(1, H, W, C).astype(np.float32))
+    y, x = np.meshgrid(np.arange(48, dtype=np.float32), np.arange(96, dtype=np.float32), indexing="ij")
+    u = jnp.asarray((x + 7.3 + 0.02 * x + 2 * np.sin(y / 17.0))[None, None])
+    v = jnp.asarray((y + 3.1 + 0.01 * x + 1.5 * np.sin(x / 23.0))[None, None])
+    ref = bilinear_sample(feat, u, v)
+    out = banded_bilinear_sample_pallas2(
+        feat, u, v, tile_h=8, tile_w=32, row_band=16, col_band=48, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_pallas2_batch_depth_random_full_band():
+    """Bands >= whole (padded) image: any coordinate pattern must be exact,
+    including out-of-image samples (zeros)."""
+    rng = np.random.RandomState(1)
+    B, N = 2, 2
+    feat = jnp.asarray(rng.randn(B, 32, 64, 4).astype(np.float32))
+    u = jnp.asarray(rng.uniform(-4, 67, (B, N, 16, 32)).astype(np.float32))
+    v = jnp.asarray(rng.uniform(-4, 35, (B, N, 16, 32)).astype(np.float32))
+    ref = bilinear_sample(feat, u, v)
+    out = banded_bilinear_sample_pallas2(
+        feat, u, v, tile_h=8, tile_w=16, row_band=40, col_band=120, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_pallas2_c16_and_border():
+    rng = np.random.RandomState(2)
+    H, W, C = 40, 72, 16
+    feat = jnp.asarray(rng.randn(1, H, W, C).astype(np.float32))
+    # samples straddling every border (zeros-padding behavior)
+    y, x = np.meshgrid(
+        np.linspace(-1.5, H + 0.5, 24, dtype=np.float32),
+        np.linspace(-1.5, W + 0.5, 32, dtype=np.float32),
+        indexing="ij",
+    )
+    u = jnp.asarray(x[None, None])
+    v = jnp.asarray(y[None, None])
+    ref = bilinear_sample(feat, u, v)
+    out = banded_bilinear_sample_pallas2(
+        feat, u, v, tile_h=8, tile_w=16, row_band=48, col_band=112, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_pallas2_fallback_when_c_not_pow2():
+    """C=6 does not divide 128 -> falls back to the XLA banded path."""
+    rng = np.random.RandomState(3)
+    feat = jnp.asarray(rng.randn(1, 32, 64, 6).astype(np.float32))
+    y, x = np.meshgrid(np.arange(16, dtype=np.float32), np.arange(32, dtype=np.float32), indexing="ij")
+    u = jnp.asarray((x + 1.2)[None, None])
+    v = jnp.asarray((y + 0.7)[None, None])
+    ref = bilinear_sample(feat, u, v)
+    out = banded_bilinear_sample_pallas2(feat, u, v, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)

@@ -8,10 +8,11 @@ regularizer cell step and feature net for context. Run on the real TPU:
 """
 
 import argparse
-import functools
 import os
+import sys
 import time
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
 
 import jax
@@ -19,14 +20,25 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def timeit(fn, *args, iters=5, warmup=2):
+def _sync(x):
+    # block_until_ready does not flush the axon relay; fetching a
+    # device-reduced scalar guarantees completion (see bench.py)
+    return float(jnp.sum(jax.tree_util.tree_leaves(x)[0]))
+
+
+def timeit(fn, *args, iters=5, warmup=2, reps=4):
+    """Median seconds per call; ``reps`` back-to-back dispatches per sync
+    amortize the relay round-trip out of the measurement."""
     for _ in range(warmup):
-        jax.block_until_ready(fn(*args))
+        _sync(fn(*args))
     ts = []
     for _ in range(iters):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn(*args))
-        ts.append(time.perf_counter() - t0)
+        out = None
+        for _ in range(reps):
+            out = fn(*args)
+        _sync(out)
+        ts.append((time.perf_counter() - t0) / reps)
     return float(np.median(ts))
 
 
@@ -42,7 +54,7 @@ def proj_pair(width, height, shift):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--impls", default="pallas,banded")
+    ap.add_argument("--impls", default="pallas2,pallas,banded")
     ap.add_argument("--dtype", default="f32", choices=["f32", "bf16"])
     ap.add_argument("--iters", type=int, default=5)
     args = ap.parse_args()
