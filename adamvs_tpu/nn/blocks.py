@@ -27,6 +27,8 @@ from typing import Any
 import flax.linen as nn
 import jax.numpy as jnp
 
+from .fastconv import FastConv, FastConvTranspose
+
 # torch BatchNorm2d(momentum=0.1) keeps running = 0.9*running + 0.1*batch;
 # flax's `momentum` is the running-average coefficient itself.
 BN_MOMENTUM = 0.9
@@ -43,11 +45,10 @@ class ConvBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        x = nn.Conv(
+        x = FastConv(
             self.features,
             (self.kernel, self.kernel),
             strides=(self.stride, self.stride),
-            padding="SAME",
             use_bias=not self.use_bn,
             dtype=self.dtype,
         )(x)
@@ -72,11 +73,10 @@ class DeconvBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        x = nn.ConvTranspose(
+        x = FastConvTranspose(
             self.features,
             (self.kernel, self.kernel),
             strides=(2, 2),
-            padding="SAME",
             use_bias=not self.use_bn,
             dtype=self.dtype,
         )(x)
@@ -98,11 +98,10 @@ class ConvReLU(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        x = nn.Conv(
+        x = FastConv(
             self.features,
             (self.kernel, self.kernel),
             strides=(self.stride, self.stride),
-            padding="SAME",
             use_bias=False,
             dtype=self.dtype,
         )(x)
@@ -118,8 +117,8 @@ class ConvTransReLU(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        x = nn.ConvTranspose(
-            self.features, (self.kernel, self.kernel), strides=(2, 2), padding="SAME",
+        x = FastConvTranspose(
+            self.features, (self.kernel, self.kernel), strides=(2, 2),
             use_bias=False, dtype=self.dtype,
         )(x)
         return nn.relu(x)
@@ -136,13 +135,13 @@ class ConvGRUCell(nn.Module):
     @nn.compact
     def __call__(self, h: jnp.ndarray, x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
         k = (self.kernel, self.kernel)
-        gates = nn.Conv(2 * self.hidden, k, padding="SAME", use_bias=True, dtype=self.dtype)(
+        gates = FastConv(2 * self.hidden, k, use_bias=True, dtype=self.dtype)(
             jnp.concatenate([x, h], axis=-1)
         )
         r, u = jnp.split(gates, 2, axis=-1)
         r = nn.sigmoid(r)
         u = nn.sigmoid(u)
-        c = nn.Conv(self.hidden, k, padding="SAME", use_bias=True, dtype=self.dtype)(
+        c = FastConv(self.hidden, k, use_bias=True, dtype=self.dtype)(
             jnp.concatenate([x, r * h], axis=-1)
         )
         c = jnp.tanh(c)
@@ -160,13 +159,13 @@ class GNConvGRUCell(nn.Module):
     @nn.compact
     def __call__(self, h: jnp.ndarray, x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
         k = (self.kernel, self.kernel)
-        gates = nn.Conv(2 * self.hidden, k, padding="SAME", use_bias=True, dtype=self.dtype)(
+        gates = FastConv(2 * self.hidden, k, use_bias=True, dtype=self.dtype)(
             jnp.concatenate([x, h], axis=-1)
         )
         r, u = jnp.split(gates, 2, axis=-1)
         r = nn.sigmoid(nn.GroupNorm(num_groups=1, epsilon=1e-5)(r))
         u = nn.sigmoid(nn.GroupNorm(num_groups=1, epsilon=1e-5)(u))
-        o = nn.Conv(self.hidden, k, padding="SAME", use_bias=True, dtype=self.dtype)(
+        o = FastConv(self.hidden, k, use_bias=True, dtype=self.dtype)(
             jnp.concatenate([x, r * h], axis=-1)
         )
         o = jnp.tanh(nn.GroupNorm(num_groups=1, epsilon=1e-5)(o))

@@ -31,6 +31,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from .blocks import BN_EPS, BN_MOMENTUM, ConvGRUCell, ConvReLU, ConvTransReLU, GNConvGRUCell
+from .fastconv import FastConv, FastConvTranspose
 
 
 class CostRegNet2D(nn.Module):
@@ -44,15 +45,15 @@ class CostRegNet2D(nn.Module):
         c = self.channels
 
         def cbr(y, stride=1):
-            y = nn.Conv(c, (3, 3), strides=(stride, stride), padding="SAME", use_bias=False,
-                        dtype=self.dtype)(y)
+            y = FastConv(c, (3, 3), strides=(stride, stride), use_bias=False,
+                         dtype=self.dtype)(y)
             y = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
                              epsilon=BN_EPS, dtype=self.dtype)(y)
             return nn.relu(y)
 
         def up(y):
-            y = nn.ConvTranspose(c, (3, 3), strides=(2, 2), padding="SAME", use_bias=False,
-                                 dtype=self.dtype)(y)
+            y = FastConvTranspose(c, (3, 3), strides=(2, 2), use_bias=False,
+                                  dtype=self.dtype)(y)
             y = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
                              epsilon=BN_EPS, dtype=self.dtype)(y)
             return nn.relu(y)
@@ -64,7 +65,7 @@ class CostRegNet2D(nn.Module):
         y = c4 + up(y)
         y = c2 + up(y)
         y = c0 + up(y)
-        return nn.Conv(c, (3, 3), padding="SAME", use_bias=True, dtype=self.dtype)(y)
+        return FastConv(c, (3, 3), use_bias=True, dtype=self.dtype)(y)
 
 
 class AdaRedCell(nn.Module):
@@ -86,14 +87,14 @@ class AdaRedCell(nn.Module):
         r1, h1 = ConvGRUCell(b, dtype=self.dtype)(h1, c1)
         c2 = ConvReLU(2 * b, 3, 2, dtype=self.dtype)(r1)
         r2, h2 = ConvGRUCell(2 * b, dtype=self.dtype)(h2, c2)
-        u1 = nn.ConvTranspose(b, (3, 3), strides=(2, 2), padding="SAME", use_bias=True,
-                              dtype=self.dtype)(r2)
+        u1 = FastConvTranspose(b, (3, 3), strides=(2, 2), use_bias=True,
+                               dtype=self.dtype)(r2)
         u1 = nn.relu(u1 + r1)
         if self.up:
-            out = nn.ConvTranspose(1, (3, 3), strides=(2, 2), padding="SAME", use_bias=True,
-                                   dtype=self.dtype)(u1)
+            out = FastConvTranspose(1, (3, 3), strides=(2, 2), use_bias=True,
+                                    dtype=self.dtype)(u1)
         else:
-            out = nn.Conv(1, (3, 3), padding="SAME", use_bias=True, dtype=self.dtype)(u1)
+            out = FastConv(1, (3, 3), use_bias=True, dtype=self.dtype)(u1)
         return (h1, h2), out
 
     def init_carry(self, batch: int, height: int, width: int, dtype=jnp.float32):
@@ -129,7 +130,7 @@ class RedCell(nn.Module):
         r2, h2 = GNConvGRUCell(2 * b, dtype=self.dtype)(h2, c1)
         u1 = ConvTransReLU(b, dtype=self.dtype)(u2 + r2)
         r1, h1 = GNConvGRUCell(b, dtype=self.dtype)(h1, x)
-        out = nn.Conv(1, (3, 3), padding="SAME", use_bias=True, dtype=self.dtype)(u1 + r1)
+        out = FastConv(1, (3, 3), use_bias=True, dtype=self.dtype)(u1 + r1)
         return (h1, h2, h3, h4), out
 
     def init_carry(self, batch: int, height: int, width: int, dtype=jnp.float32):

@@ -19,6 +19,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from .fastconv import FastConv
 from .blocks import ConvBlock, DeConvFuse
 
 
@@ -67,7 +68,7 @@ class AdaFeatureNet(nn.Module):
         b1 = _SPPBranch(2 * b, 4, dtype=self.dtype)(intra, train)
         b2 = _SPPBranch(2 * b, 8, dtype=self.dtype)(intra, train)
         cat = jnp.concatenate([b1, b2, intra], axis=-1)
-        outputs["stage1"] = nn.Conv(4 * b, (1, 1), use_bias=False, dtype=self.dtype)(cat)
+        outputs["stage1"] = FastConv(4 * b, (1, 1), use_bias=False, dtype=self.dtype)(cat)
         if self.num_stages < 2:
             return outputs
 
@@ -75,7 +76,7 @@ class AdaFeatureNet(nn.Module):
         b1 = _SPPBranch(b, 4, dtype=self.dtype)(intra, train)
         b2 = _SPPBranch(b, 8, dtype=self.dtype)(intra, train)
         cat = jnp.concatenate([b1, b2, intra], axis=-1)
-        outputs["stage2"] = nn.Conv(2 * b, (1, 1), use_bias=False, dtype=self.dtype)(cat)
+        outputs["stage2"] = FastConv(2 * b, (1, 1), use_bias=False, dtype=self.dtype)(cat)
         if self.num_stages < 3:
             return outputs
 
@@ -83,7 +84,7 @@ class AdaFeatureNet(nn.Module):
         b1 = _SPPBranch(b // 2, 4, dtype=self.dtype)(intra, train)
         b2 = _SPPBranch(b // 2, 8, dtype=self.dtype)(intra, train)
         cat = jnp.concatenate([b1, b2, intra], axis=-1)
-        outputs["stage3"] = nn.Conv(b, (1, 1), use_bias=False, dtype=self.dtype)(cat)
+        outputs["stage3"] = FastConv(b, (1, 1), use_bias=False, dtype=self.dtype)(cat)
 
         return outputs
 
@@ -115,15 +116,15 @@ class RedFeatureNet(nn.Module):
 
         outputs = {}
         intra = c2
-        outputs["stage1"] = nn.Conv(4 * b, (1, 1), use_bias=False, dtype=self.dtype)(intra)
+        outputs["stage1"] = FastConv(4 * b, (1, 1), use_bias=False, dtype=self.dtype)(intra)
 
         if self.arch_mode == "unet":
             if self.num_stages >= 2:
                 intra = DeConvFuse(2 * b, dtype=self.dtype)(c1, intra, train)
-                outputs["stage2"] = nn.Conv(2 * b, (1, 1), use_bias=False, dtype=self.dtype)(intra)
+                outputs["stage2"] = FastConv(2 * b, (1, 1), use_bias=False, dtype=self.dtype)(intra)
             if self.num_stages >= 3:
                 intra = DeConvFuse(b, dtype=self.dtype)(c0, intra, train)
-                outputs["stage3"] = nn.Conv(b, (1, 1), use_bias=False, dtype=self.dtype)(intra)
+                outputs["stage3"] = FastConv(b, (1, 1), use_bias=False, dtype=self.dtype)(intra)
         else:  # fpn (msrednet.py:115-128)
             final = 4 * b
             if self.num_stages >= 2:
@@ -131,16 +132,16 @@ class RedFeatureNet(nn.Module):
                     intra, (intra.shape[0], intra.shape[1] * 2, intra.shape[2] * 2, intra.shape[3]),
                     method="nearest",
                 )
-                intra = up + nn.Conv(final, (1, 1), use_bias=True, dtype=self.dtype)(c1)
+                intra = up + FastConv(final, (1, 1), use_bias=True, dtype=self.dtype)(c1)
                 f2 = 2 * b if self.num_stages == 3 else b
-                outputs["stage2"] = nn.Conv(f2, (3, 3), padding="SAME", use_bias=False, dtype=self.dtype)(intra)
+                outputs["stage2"] = FastConv(f2, (3, 3), use_bias=False, dtype=self.dtype)(intra)
             if self.num_stages >= 3:
                 up = jax.image.resize(
                     intra, (intra.shape[0], intra.shape[1] * 2, intra.shape[2] * 2, intra.shape[3]),
                     method="nearest",
                 )
-                intra = up + nn.Conv(final, (1, 1), use_bias=True, dtype=self.dtype)(c0)
-                outputs["stage3"] = nn.Conv(b, (3, 3), padding="SAME", use_bias=False, dtype=self.dtype)(intra)
+                intra = up + FastConv(final, (1, 1), use_bias=True, dtype=self.dtype)(c0)
+                outputs["stage3"] = FastConv(b, (3, 3), use_bias=False, dtype=self.dtype)(intra)
 
         return outputs
 

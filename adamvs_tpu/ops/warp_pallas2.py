@@ -50,59 +50,79 @@ def _next_pow2(x: int) -> int:
 
 
 def _sample_kernel2(
-    vrow_ref,  # scalar-prefetch [T] band row origin (Lv-aligned)
-    umin_ref,  # scalar-prefetch [T] band col origin (8-aligned)
-    img_ref,  # scalar-prefetch [T] image index per tile
-    uu_ref,  # [1, 1, P] VMEM
-    vv_ref,  # [1, 1, P] VMEM
+    vrow_ref,  # scalar-prefetch [Tp] band row origin (Lv-aligned)
+    umin_ref,  # scalar-prefetch [Tp] band col origin (8-aligned)
+    img_ref,  # scalar-prefetch [Tp] image index per tile
+    uu_ref,  # [1, KT, P] VMEM
+    vv_ref,  # [1, KT, P] VMEM
     feat_ref,  # [B, Wp, Hp*C] merged-lane source, HBM
-    out_ref,  # [1, P, C] VMEM
-    band_ref,  # scratch [cb, RB*C]
-    sem,
+    out_ref,  # [1, KT*P, C] VMEM
+    band_ref,  # scratch [2, KT, cb, RB*C] double-buffered
+    sem,  # DMA sems [2, KT]
     *,
     cb: int,
     RB: int,
     C: int,
+    KT: int,
 ):
-    t = pl.program_id(0)
-    um = pl.multiple_of(umin_ref[t], 8)
-    vlane = pl.multiple_of(vrow_ref[t] * C, 128)
-
-    copy = pltpu.make_async_copy(
-        feat_ref.at[img_ref[t], pl.ds(um, cb), pl.ds(vlane, RB * C)], band_ref, sem
-    )
-    copy.start()
-
-    P = uu_ref.shape[2]
+    g = pl.program_id(0)
+    G = pl.num_programs(0)
     L = RB * C
-    lu = uu_ref[0, 0, :] - um.astype(jnp.float32)  # [P]
-    lv = vv_ref[0, 0, :] - vrow_ref[t].astype(jnp.float32)
+    P = uu_ref.shape[2]
+
+    def dma(step, k, slot):
+        i = step * KT + k
+        um = pl.multiple_of(umin_ref[i], 8)
+        vlane = pl.multiple_of(vrow_ref[i] * C, 128)
+        return pltpu.make_async_copy(
+            feat_ref.at[img_ref[i], pl.ds(um, cb), pl.ds(vlane, L)],
+            band_ref.at[slot, k],
+            sem.at[slot, k],
+        )
+
+    slot = jax.lax.rem(g, 2)
+    nxt = jax.lax.rem(g + 1, 2)
+
+    @pl.when(g == 0)
+    def _():
+        for k in range(KT):
+            dma(g, k, slot).start()
+
+    @pl.when(g + 1 < G)
+    def _():
+        for k in range(KT):
+            dma(g + 1, k, nxt).start()
 
     x_idx = jax.lax.broadcasted_iota(jnp.int32, (P, cb), 1).astype(jnp.float32)
-    wx = jnp.maximum(0.0, 1.0 - jnp.abs(lu[:, None] - x_idx))  # [P, cb]
-    # expanded row-hat: lane l belongs to band row l // C
     r_ids = (jax.lax.broadcasted_iota(jnp.int32, (P, L), 1) // C).astype(jnp.float32)
-    wy = jnp.maximum(0.0, 1.0 - jnp.abs(lv[:, None] - r_ids))  # [P, L]
 
-    copy.wait()
-    band = band_ref[:]  # [cb, L]
-    hor = jax.lax.dot_general(
-        wx.astype(band.dtype), band, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # [P, L]
-    s = hor * wy
-    step = C
-    while step < L:
-        # want s'[l] = s[l] + s[(l + step) mod L]; pltpu.roll needs a
-        # non-negative shift, so rotate by L - step
-        s = s + pltpu.roll(s, L - step, axis=1)
-        step *= 2
-    out_ref[0, :, :] = s[:, :C].astype(out_ref.dtype)
+    for k in range(KT):
+        i = g * KT + k
+        um = pl.multiple_of(umin_ref[i], 8)
+        lu = uu_ref[0, k, :] - um.astype(jnp.float32)  # [P]
+        lv = vv_ref[0, k, :] - vrow_ref[i].astype(jnp.float32)
+        wx = jnp.maximum(0.0, 1.0 - jnp.abs(lu[:, None] - x_idx))  # [P, cb]
+        wy = jnp.maximum(0.0, 1.0 - jnp.abs(lv[:, None] - r_ids))  # [P, L]
+
+        dma(g, k, slot).wait()
+        band = band_ref[slot, k]  # [cb, L]
+        hor = jax.lax.dot_general(
+            wx.astype(band.dtype), band, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [P, L]
+        s = hor * wy
+        step = C
+        while step < L:
+            # want s'[l] = s[l] + s[(l + step) mod L]; pltpu.roll needs a
+            # non-negative shift, so rotate by L - step
+            s = s + pltpu.roll(s, L - step, axis=1)
+            step *= 2
+        out_ref[0, k * P : (k + 1) * P, :] = s[:, :C].astype(out_ref.dtype)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("tile_h", "tile_w", "row_band", "col_band", "interpret"),
+    static_argnames=("tile_h", "tile_w", "row_band", "col_band", "kt", "interpret"),
 )
 def banded_bilinear_sample_pallas2(
     feat: jnp.ndarray,  # [B,H,W,C]
@@ -112,6 +132,7 @@ def banded_bilinear_sample_pallas2(
     tile_w: int = 64,
     row_band: int = 16,
     col_band: int = 112,
+    kt: int = 4,
     interpret: bool = False,
 ) -> jnp.ndarray:
     B, H, W, C = feat.shape
@@ -163,33 +184,48 @@ def banded_bilinear_sample_pallas2(
     vrow = (vmin // Lv) * Lv
     img_idx = (jnp.arange(T, dtype=jnp.int32) // tiles_per_im) // N
 
+    # pad the tile list to a multiple of KT (dummy tiles: far-out coords
+    # sample to zero; their rows are cropped after unfold)
+    KT = max(1, kt)
+    G = -(-T // KT)
+    pad_t = G * KT - T
+    if pad_t:
+        uu = jnp.pad(uu, ((0, pad_t), (0, 0)), constant_values=-big)
+        vv = jnp.pad(vv, ((0, pad_t), (0, 0)), constant_values=-big)
+        umin = jnp.pad(umin, ((0, pad_t),))
+        vrow = jnp.pad(vrow, ((0, pad_t),))
+        img_idx = jnp.pad(img_idx, ((0, pad_t),))
+    uu_g = uu.reshape(G, KT, P)
+    vv_g = vv.reshape(G, KT, P)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
-        grid=(T,),
+        grid=(G,),
         in_specs=[
-            pl.BlockSpec((1, 1, P), lambda i, *_: (i, 0, 0)),
-            pl.BlockSpec((1, 1, P), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((1, KT, P), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((1, KT, P), lambda i, *_: (i, 0, 0)),
             pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
         ],
-        out_specs=pl.BlockSpec((1, P, C), lambda i, *_: (i, 0, 0)),
+        out_specs=pl.BlockSpec((1, KT * P, C), lambda i, *_: (i, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((cb, RB * C), feat.dtype),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, KT, cb, RB * C), feat.dtype),
+            pltpu.SemaphoreType.DMA((2, KT)),
         ],
     )
     flops_per_tile = 2 * P * cb * RB * C
     out = pl.pallas_call(
-        functools.partial(_sample_kernel2, cb=cb, RB=RB, C=C),
+        functools.partial(_sample_kernel2, cb=cb, RB=RB, C=C, KT=KT),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((T, P, C), feat.dtype),
+        out_shape=jax.ShapeDtypeStruct((G, KT * P, C), feat.dtype),
         cost_estimate=pl.CostEstimate(
-            flops=T * flops_per_tile,
-            bytes_accessed=T * (cb * RB * C + P * C) * feat.dtype.itemsize,
+            flops=G * KT * flops_per_tile,
+            bytes_accessed=G * KT * (cb * RB * C + P * C) * feat.dtype.itemsize,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(vrow, umin, img_idx, uu[:, None, :], vv[:, None, :], feat_m)
+    )(vrow, umin, img_idx, uu_g, vv_g, feat_m)
 
+    out = out.reshape(G * KT, P, C)[:T]
     out = out.reshape(B, N, nty, ntx, tile_h, tile_w, C)
     out = out.transpose(0, 1, 2, 4, 3, 5, 6).reshape(B, N, hp, wp, C)
     return out[:, :, :h, :w]
@@ -205,6 +241,7 @@ def plane_sweep_warp_pallas2(
     tile_w: int = 64,
     row_band: int = 16,
     col_band: int = 112,
+    kt: int = 4,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Drop-in merged-lane variant of ``ops.warp.plane_sweep_warp``."""
@@ -220,5 +257,5 @@ def plane_sweep_warp_pallas2(
     v = jax.lax.stop_gradient(v)
     return banded_bilinear_sample_pallas2(
         src_feat, u, v, tile_h=tile_h, tile_w=tile_w,
-        row_band=row_band, col_band=col_band, interpret=interpret,
+        row_band=row_band, col_band=col_band, kt=kt, interpret=interpret,
     )
