@@ -6,4 +6,5 @@ from .pipeline import (
     load_train_sample,
     load_predict_sample,
     color_augment,
+    gaussian_augment,
 )

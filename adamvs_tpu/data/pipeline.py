@@ -68,6 +68,19 @@ def color_augment(img: np.ndarray, rng: np.random.RandomState) -> np.ndarray:
     return np.array(pil)
 
 
+def gaussian_augment(
+    img: np.ndarray, rng: np.random.RandomState, mean: float = 0.02, sigma: float = 0.03
+) -> np.ndarray:
+    """Additive per-pixel Gaussian noise (reference ``randomGaussian``,
+    preprocess.py:137-156 — dead code there: the ``image_augment`` call site is
+    commented out, preprocess.py:119. Kept for surface parity; vectorized
+    instead of the reference's per-scalar python loop). Not wired into the
+    train pipeline, matching the reference's live behavior."""
+    img = np.asarray(img, dtype=np.float32)
+    noise = rng.normal(mean, sigma, size=img.shape).astype(np.float32)
+    return img + noise
+
+
 @dataclasses.dataclass
 class TrainSample:
     imgs: np.ndarray

@@ -97,11 +97,14 @@ def get_warp_fn(impl: str, bands: tuple[int, int] = (32, 256)):
 
         return fn
     if impl == "pallas2":
-        # merged-lane kernel: band knobs are spans, not padded sizes — halve
-        # the v1-style (row, col) bands passed through the shared config knob
+        # merged-lane kernel: band knobs are spans (padded to pow2/128-lane
+        # inside the kernel), not v1-style padded slice sizes — scale the
+        # shared config knob 2:1 so a user-enlarged band (wide-baseline
+        # geometry) enlarges the kernel band proportionally instead of being
+        # silently clamped to the defaults
         rb, cb = bands
-        rb = min(rb, 16)
-        cb = min(cb, 112)
+        rb = max(16, rb // 2)
+        cb = max(112, cb * 112 // 256)  # default (32,256) -> tuned (16,112)
 
         def fn(src_feat, src_proj, ref_proj, depth, grid_hw=None):
             return plane_sweep_warp_pallas2(
@@ -265,11 +268,12 @@ class AdaMVS(nn.Module):
                 confs, pds = [], []
                 warp_fn = get_warp_fn(self.warp_impl, self.warp_bands)
                 for v in range(V - 1):
-                    corr = correlation_volume(
-                        ref_feat, src_feats[v], src_projs[v], ref_proj, hyp0,
-                        self.warp_block, warp_fn,
-                    )
-                    prob = jax.nn.softmax(reg2d(corr, train), axis=-1)  # [B,h,w,D]
+                    with jax.named_scope(f"stage1_pairmatch_v{v}"):
+                        corr = correlation_volume(
+                            ref_feat, src_feats[v], src_projs[v], ref_proj, hyp0,
+                            self.warp_block, warp_fn,
+                        )
+                        prob = jax.nn.softmax(reg2d(corr, train), axis=-1)  # [B,h,w,D]
                     confs.append(jnp.max(prob, axis=-1))
                     pds.append(jnp.sum(prob * hyp0[:, None, None, :], axis=-1))
                 pair_conf = jnp.stack(confs, axis=-1)  # [B,h,w,V-1]
@@ -293,9 +297,10 @@ class AdaMVS(nn.Module):
             red_carry = AdaRedCell(self.cr_base[si], up).init_carry(B, h, w)
             acc = online_softmax_init((B, out_h, out_w))
             d_idx = jnp.arange(D, dtype=jnp.float32)
-            (red_carry, acc), _ = cell(
-                (red_carry, acc), d_idx, ref_feat, src_feats, src_projs, ref_proj, weights, lo, step
-            )
+            with jax.named_scope(f"{key}_sweep"):
+                (red_carry, acc), _ = cell(
+                    (red_carry, acc), d_idx, ref_feat, src_feats, src_projs, ref_proj, weights, lo, step
+                )
             depth, conf = online_softmax_finalize(acc)
 
             outputs[key] = {

@@ -22,6 +22,17 @@ reference's order of resampling operations.
 ``share_cr`` is accepted for CLI parity but rejected: the reference's shared
 path passes a list where an int is required and would crash if enabled
 (msrednet.py:271).
+
+Documented deviation — stage-1 sweep endpoints: the reference's train/test
+orchestrator passes the full ``[B,3] = [min, max, interval]`` ``depth_values``
+tensor as ``cur_depth`` (msrednet.py:295-311), and ``get_depth_range_samples``
+reads the sweep endpoints as ``cur_depth[:, 0]`` and ``cur_depth[:, -1]``
+(module.py:651-653) — so the reference's stage-1 training sweep runs
+min → *interval* (a descending sweep to ~0 scene units), not min → max. Its
+predict path (``[B,2]`` depth_values) sweeps min → max. This implementation
+sweeps min → max in both paths (matching the predict path, the AdaMVS family,
+and the obvious intent); a trained-from-scratch model here therefore sees a
+different stage-1 hypothesis distribution than a reference training run.
 """
 
 from __future__ import annotations
@@ -175,9 +186,10 @@ class MSREDNet(nn.Module):
             red_carry = RedCell(self.cr_base[si]).init_carry(B, h, w)
             acc = online_softmax_init((B, h, w))
             d_idx = jnp.arange(D, dtype=jnp.float32)
-            (red_carry, acc), _ = cell(
-                (red_carry, acc), d_idx, ref_feat, src_feats, src_projs, ref_proj, lo, step
-            )
+            with jax.named_scope(f"{key}_sweep"):
+                (red_carry, acc), _ = cell(
+                    (red_carry, acc), d_idx, ref_feat, src_feats, src_projs, ref_proj, lo, step
+                )
             depth, conf = online_softmax_finalize(acc)
             outputs[key] = {"depth": depth, "photometric_confidence": conf}
             prev_depth = depth

@@ -11,11 +11,13 @@ the tensors in their natural layout and measures ~2.2x faster at C=8
 - ``conv2d_transpose_shift`` == lax.conv_transpose(..., "SAME") — implemented
   as zero-dilated input + shift conv (the textbook equivalence).
 
-``FastConv`` / ``FastConvTranspose`` are flax modules with parameter pytrees
-identical to ``nn.Conv`` / ``nn.ConvTranspose`` ("kernel" [kh,kw,Cin,Cout],
-optional "bias"), so checkpoints are interchangeable and blocks can switch
-implementation freely. Above ``_FAST_MAX_C`` channels the stock conv is used
-(XLA is efficient there).
+``FastConv`` / ``FastConvTranspose`` have parameter *leaves* identical to
+``nn.Conv`` / ``nn.ConvTranspose`` ("kernel" [kh,kw,Cin,Cout], optional
+"bias"). NOTE the flax auto-generated module *names* differ ("FastConv_0" vs
+"Conv_0"), so whole-model checkpoints saved before a block switched
+implementations do NOT restore — switching is free for new models only.
+Above ``_FAST_MAX_C`` channels the stock conv path is used (XLA reaches good
+MXU utilization there).
 """
 
 from __future__ import annotations
@@ -84,8 +86,16 @@ def conv2d_transpose_shift(x: jnp.ndarray, k: jnp.ndarray, stride: int = 2) -> j
     pl_h = pad_lo(kh)
     pl_w = pad_lo(kw)
     # input-space footprint per output phase: output row s*i+a reads dilated
-    # rows s*i+a+pl-ky for ky in [0,kh) — integer input rows only
-    xp = jnp.pad(x, ((0, 0), (2, 2), (2, 2), (0, 0)))
+    # rows s*i+a+pl-ky for ky in [0,kh) — integer input rows only. The slice
+    # starts below range over iy//s for iy in [-pl, s-1-pl+k-1]: pad enough
+    # on both sides (literal 2 only covers k <= 2s+pl, e.g. k<=7 at s=2).
+    pad = max(
+        1,
+        -(-pl_h // stride), -(-pl_w // stride),
+        (stride - 1 - pl_h + kh - 1) // stride,
+        (stride - 1 - pl_w + kw - 1) // stride,
+    )
+    xp = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
     phases = []
     for a in range(stride):
         row_terms = []
@@ -103,8 +113,8 @@ def conv2d_transpose_shift(x: jnp.ndarray, k: jnp.ndarray, stride: int = 2) -> j
                         continue
                     xs = jax.lax.slice(
                         xp,
-                        (0, 2 + iy // stride, 2 + ix // stride, 0),
-                        (B, 2 + iy // stride + H, 2 + ix // stride + W, Ci),
+                        (0, pad + iy // stride, pad + ix // stride, 0),
+                        (B, pad + iy // stride + H, pad + ix // stride + W, Ci),
                     )
                     t = jnp.einsum(
                         "bhwi,io->bhwo", xs, k[ky, kx],
@@ -138,7 +148,7 @@ class FastConvTranspose(nn.Module):
         dt = self.dtype or x.dtype
         xc = x.astype(dt)
         kc = kernel.astype(dt)
-        if max(Ci, self.features) <= _FAST_MAX_C:
+        if max(Ci, self.features) <= _FAST_MAX_C and self.strides[0] == self.strides[1]:
             y = conv2d_transpose_shift(xc, kc, self.strides[0])
         else:
             y = jax.lax.conv_transpose(
@@ -170,7 +180,7 @@ class FastConv(nn.Module):
         dt = self.dtype or x.dtype
         xc = x.astype(dt)
         kc = kernel.astype(dt)
-        if max(Ci, self.features) <= _FAST_MAX_C:
+        if max(Ci, self.features) <= _FAST_MAX_C and self.strides[0] == self.strides[1]:
             y = conv2d_shift(xc, kc, self.strides[0])
         else:
             y = jax.lax.conv_general_dilated(

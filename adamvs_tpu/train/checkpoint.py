@@ -40,7 +40,21 @@ def save_checkpoint(logdir: str, state, epoch: int, metric: float | None = None,
     return path
 
 
-_CKPT_RE = re.compile(r"^model_(\d{6})(?:_.*)?$")
+# model_{epoch}[_{metric}][_step{N}] — group 2 present only for mid-epoch
+# step-tagged saves (Trainer.train_epoch), which must NOT advance the resume
+# epoch: resuming from one repeats epoch E rather than silently skipping the
+# un-trained remainder of it.
+_CKPT_RE = re.compile(r"^model_(\d{6})(?:_[0-9.]+)?(?:_step(\d+))?$")
+
+
+def _ckpt_key(name: str) -> tuple[int, int, int] | None:
+    """Sort key (epoch, is_epoch_final, step) — an end-of-epoch checkpoint
+    outranks any step checkpoint of the same epoch."""
+    m = _CKPT_RE.match(name)
+    if not m:
+        return None
+    step = int(m.group(2)) if m.group(2) else -1
+    return (int(m.group(1)), 1 if step < 0 else 0, step)
 
 
 def latest_checkpoint(logdir: str) -> str | None:
@@ -48,9 +62,8 @@ def latest_checkpoint(logdir: str) -> str | None:
         return None
     best = None
     for name in os.listdir(logdir):
-        m = _CKPT_RE.match(name)
-        if m and os.path.isdir(os.path.join(logdir, name)):
-            key = int(m.group(1))
+        key = _ckpt_key(name)
+        if key is not None and os.path.isdir(os.path.join(logdir, name)):
             if best is None or key >= best[0]:
                 best = (key, name)
     return os.path.join(logdir, best[1]) if best else None
@@ -59,6 +72,16 @@ def latest_checkpoint(logdir: str) -> str | None:
 def checkpoint_epoch(path: str) -> int:
     m = _CKPT_RE.match(os.path.basename(path))
     return int(m.group(1)) if m else 0
+
+
+def next_epoch_after(path: str) -> int:
+    """Epoch index to run next when resuming from ``path``: epoch+1 for an
+    end-of-epoch checkpoint, the same epoch for a mid-epoch step checkpoint."""
+    m = _CKPT_RE.match(os.path.basename(path))
+    if not m:
+        return 0
+    epoch = int(m.group(1))
+    return epoch if m.group(2) else epoch + 1
 
 
 def restore_checkpoint(path: str, state, restore_opt: bool | None = None):

@@ -19,7 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.regression import resize_bilinear
-from .checkpoint import checkpoint_epoch, latest_checkpoint, restore_checkpoint, save_checkpoint
+from .checkpoint import latest_checkpoint, next_epoch_after, restore_checkpoint, save_checkpoint
 from .metrics import eval_metrics
 from .state import TrainState, apply_updates_if_finite
 
@@ -125,7 +125,7 @@ class Trainer:
             return 0
         self.log(f"resuming from {path}")
         self.state = restore_checkpoint(path, self.state)
-        return checkpoint_epoch(path) + 1
+        return next_epoch_after(path)
 
     def load(self, path: str):
         self.log(f"loading checkpoint {path}")

@@ -192,6 +192,27 @@ def test_checkpoint_roundtrip(tmp_path, tiny_setup):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_step_checkpoint_does_not_skip_epoch(tmp_path, tiny_setup):
+    """A mid-epoch step-tagged save must resume at the SAME epoch: the old
+    epoch regex matched model_{E}_step{N} and returned E+1, silently skipping
+    the untrained remainder of epoch E."""
+    from adamvs_tpu.train.checkpoint import next_epoch_after
+
+    model, state, batch = tiny_setup
+    logdir = str(tmp_path / "ckpts")
+    os.makedirs(logdir)
+    save_checkpoint(logdir, state, epoch=3, metric=0.2)  # end of epoch 3
+    save_checkpoint(logdir, state, epoch=4, tag="step1234")  # mid-epoch 4
+    path = latest_checkpoint(logdir)
+    assert path.endswith("model_000004_step1234")
+    assert next_epoch_after(path) == 4
+    # an end-of-epoch save outranks a step save of the same epoch
+    save_checkpoint(logdir, state, epoch=4, metric=0.15)
+    path = latest_checkpoint(logdir)
+    assert path.endswith("model_000004_0.1500")
+    assert next_epoch_after(path) == 5
+
+
 # ---------------------------------------------------------------------------
 # data parallel: sharded step == single-device step
 # ---------------------------------------------------------------------------
