@@ -43,7 +43,7 @@ def _add_model_flags(p: argparse.ArgumentParser):
     p.add_argument("--depth_inter_r", default="4,2,1")
     p.add_argument("--cr_base_chs", default="8,8,8")
     p.add_argument("--share_cr", action="store_true")
-    p.add_argument("--warp_impl", default="gather", choices=["gather", "banded", "pallas", "pallas2"])
+    p.add_argument("--warp_impl", default="gather", choices=["gather", "banded", "pallas", "pallas2", "pallas2bf16"])
     p.add_argument("--compute_dtype", default="f32", choices=["f32", "bf16"])
     p.add_argument("--distributed", action="store_true",
                    help="initialize the multi-host JAX runtime (parallel/distributed.py)")

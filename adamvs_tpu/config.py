@@ -33,7 +33,7 @@ class ModelConfig:
     cr_base_chs: tuple[int, ...] = (8, 8, 8)
     share_cr: bool = False
     base_channels: int = 8
-    warp_impl: str = "gather"  # gather | banded | pallas | pallas2
+    warp_impl: str = "gather"  # gather | banded | pallas | pallas2 | pallas2bf16
     dtype: str = "f32"  # f32 | bf16
 
     def build(self, **overrides):

@@ -96,7 +96,7 @@ def get_warp_fn(impl: str, bands: tuple[int, int] = (32, 256)):
             )
 
         return fn
-    if impl == "pallas2":
+    if impl in ("pallas2", "pallas2bf16"):
         # merged-lane kernel: band knobs are spans (padded to pow2/128-lane
         # inside the kernel), not v1-style padded slice sizes — scale the
         # shared config knob 2:1 so a user-enlarged band (wide-baseline
@@ -105,11 +105,12 @@ def get_warp_fn(impl: str, bands: tuple[int, int] = (32, 256)):
         rb, cb = bands
         rb = max(16, rb // 2)
         cb = max(112, cb * 112 // 256)  # default (32,256) -> tuned (16,112)
+        mm_dtype = jnp.bfloat16 if impl == "pallas2bf16" else None
 
         def fn(src_feat, src_proj, ref_proj, depth, grid_hw=None):
             return plane_sweep_warp_pallas2(
                 src_feat, src_proj, ref_proj, depth, grid_hw=grid_hw,
-                row_band=rb, col_band=cb,
+                row_band=rb, col_band=cb, mm_dtype=mm_dtype,
             )
 
         return fn
@@ -183,9 +184,79 @@ class _AdaFuseStreamCell(nn.Module):
         return (red_carry, acc), jnp.float32(0.0)
 
 
+def _depth_sharded_fuse(
+    mesh, axis, warp_fn, ref_feat, src_feats, src_projs, ref_proj,
+    weights, lo, step, D, up,
+):
+    """Phase 1 of the depth-sharded sweep: every depth hypothesis' warp +
+    visibility-weighted fusion computed in parallel, D-blocks sharded over
+    ``axis``. Returns ([D,B,h,w,C] fused slices, [D,B,oh,ow] hypothesis maps
+    at accumulator resolution), both depth-sharded."""
+    from jax.sharding import PartitionSpec as P
+
+    k = mesh.shape[axis]
+    if D % k != 0:
+        raise ValueError(f"ndepths entry {D} must divide the '{axis}' mesh axis ({k})")
+    d_idx = jnp.arange(D, dtype=jnp.float32)
+
+    def fuse_block(d_blk, ref_feat, src_feats, src_projs, ref_proj, weights, lo, step):
+        hyp = lo[:, None] + d_blk[None, :, None, None] * step[:, None]  # [B,Dk,h,w]
+        wsum = jnp.float32(1e-5)
+        vsum = jnp.float32(0.0)
+        for v in range(src_feats.shape[0]):
+            warped = warp_fn(src_feats[v], src_projs[v], ref_proj, hyp)  # [B,Dk,h,w,C]
+            w_v = weights[..., v : v + 1][:, None]  # [B,1,h,w,1]
+            vsum = vsum + (ref_feat[:, None] * warped) * w_v
+            wsum = wsum + w_v
+        fused = vsum / wsum
+        if up:
+            hyp_acc = resize_bilinear(hyp, hyp.shape[2] * 2, hyp.shape[3] * 2)
+        else:
+            hyp_acc = hyp
+        return jnp.moveaxis(fused, 1, 0), jnp.moveaxis(hyp_acc, 1, 0)
+
+    fn = jax.shard_map(
+        fuse_block,
+        mesh=mesh,
+        in_specs=(P(axis),) + (P(),) * 7,
+        out_specs=(P(axis), P(axis)),
+        check_vma=False,
+    )
+    return fn(d_idx, ref_feat, src_feats, src_projs, ref_proj, weights, lo, step)
+
+
+class _AdaRegStreamCell(nn.Module):
+    """Scan cell over PRECOMPUTED fused slices — the depth-sharded sweep path.
+    Parameter tree is identical to ``_AdaFuseStreamCell`` (one ``cell``
+    submodule), so the same checkpoint serves both paths."""
+
+    base: int
+    up: bool
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, carry, fused, hyp_acc):
+        red_carry, acc = carry
+        red_carry, cost = AdaRedCell(self.base, self.up, dtype=self.dtype, name="cell")(
+            red_carry, fused
+        )
+        acc = online_softmax_update(acc, cost[..., 0], hyp_acc)
+        return (red_carry, acc), jnp.float32(0.0)
+
+
 class AdaMVS(nn.Module):
     """Cascade orchestrator (reference AdaMVSNet adamvs.py:316-396 and
-    Infer_AdaMVSNet adamvs.py:537-620 unified)."""
+    Infer_AdaMVSNet adamvs.py:537-620 unified).
+
+    ``depth_mesh``/``depth_axis``: depth-hypothesis-axis sharding — the
+    SP-analog of SURVEY.md §2.6. The per-hypothesis warp+visibility-fusion
+    (the majority of sweep FLOPs) runs under ``shard_map`` with D-blocks
+    sharded over ``depth_axis``; the recurrent regularizer scan then runs
+    replicated over the gathered fused volume, and the online-softmax
+    accumulation is unchanged (its partial states merge associatively —
+    ops/regression.py:online_softmax_merge — but the exact path here keeps
+    one scan, so results are IDENTICAL to the unsharded forward; the GRU
+    depth recurrence is inherently sequential and is not approximated)."""
 
     ndepths: tuple[int, ...] = (48, 32, 8)
     depth_intervals_ratio: tuple[float, ...] = (4.0, 2.0, 1.0)
@@ -196,6 +267,8 @@ class AdaMVS(nn.Module):
     warp_bands: tuple[int, int] = (32, 256)
     use_remat: bool = True
     dtype: Any = None
+    depth_mesh: Any = None  # jax.sharding.Mesh with ``depth_axis`` in it
+    depth_axis: str = "depth"
 
     def feature_module(self) -> nn.Module:
         """Standalone feature net matching the 'feature' submodule — apply it
@@ -240,6 +313,14 @@ class AdaMVS(nn.Module):
             variable_broadcast="params",
             split_rngs={"params": False},
             in_axes=(0,) + (nn.broadcast,) * 7,
+            out_axes=0,
+        )
+        reg_cls = nn.remat(_AdaRegStreamCell) if self.use_remat else _AdaRegStreamCell
+        scan_reg = nn.scan(
+            reg_cls,
+            variable_broadcast="params",
+            split_rngs={"params": False},
+            in_axes=(0, 0),
             out_axes=0,
         )
 
@@ -290,17 +371,30 @@ class AdaMVS(nn.Module):
 
             up = _UP_BY_STAGE[si]
             out_h, out_w = (2 * h, 2 * w) if up else (h, w)
-            cell = scan_cell(
-                self.cr_base[si], up, self.warp_impl, self.warp_bands,
-                dtype=self.dtype, name=f"reg_fuse{si + 1}",
-            )
             red_carry = AdaRedCell(self.cr_base[si], up).init_carry(B, h, w)
             acc = online_softmax_init((B, out_h, out_w))
-            d_idx = jnp.arange(D, dtype=jnp.float32)
-            with jax.named_scope(f"{key}_sweep"):
-                (red_carry, acc), _ = cell(
-                    (red_carry, acc), d_idx, ref_feat, src_feats, src_projs, ref_proj, weights, lo, step
+            if self.depth_mesh is not None:
+                fused_all, hyp_acc_all = _depth_sharded_fuse(
+                    self.depth_mesh, self.depth_axis,
+                    get_warp_fn(self.warp_impl, self.warp_bands),
+                    ref_feat, src_feats, src_projs, ref_proj, weights, lo, step,
+                    D, up,
                 )
+                cell = scan_reg(
+                    self.cr_base[si], up, dtype=self.dtype, name=f"reg_fuse{si + 1}"
+                )
+                with jax.named_scope(f"{key}_sweep_dsharded"):
+                    (red_carry, acc), _ = cell((red_carry, acc), fused_all, hyp_acc_all)
+            else:
+                cell = scan_cell(
+                    self.cr_base[si], up, self.warp_impl, self.warp_bands,
+                    dtype=self.dtype, name=f"reg_fuse{si + 1}",
+                )
+                d_idx = jnp.arange(D, dtype=jnp.float32)
+                with jax.named_scope(f"{key}_sweep"):
+                    (red_carry, acc), _ = cell(
+                        (red_carry, acc), d_idx, ref_feat, src_feats, src_projs, ref_proj, weights, lo, step
+                    )
             depth, conf = online_softmax_finalize(acc)
 
             outputs[key] = {

@@ -1,11 +1,11 @@
 """Shift-einsum convolution: faster small-channel convs on TPU.
 
-XLA lowers NHWC convs with tiny channel counts (C=8..32 — all of this model
-family's regularizer/feature channels) to lane-padded kernels running at
-~300 GFLOP/s and ~4% of HBM bandwidth (tools/conv_probe.py). Expressing the
-same conv as a sum of 9 spatially-shifted ``[Cin,Cout]`` contractions keeps
-the tensors in their natural layout and measures ~2.2x faster at C=8
-(tools/conv_probe2.py). These functions are exact drop-ins:
+At C<=8 (head/entry convs of this model family) XLA's stock NHWC conv picks a
+pathological algorithm (measured 4.4 s for a 1.5 GFLOP 8->8 conv at f32);
+expressing the conv as a sum of 9 spatially-shifted ``[Cin,Cout]``
+contractions runs it at HBM bandwidth instead (tools/conv_probe3.py,
+slope-timed on device). At >=16 channels the stock conv wins and is used.
+These functions are exact drop-ins:
 
 - ``conv2d_shift``  == lax.conv_general_dilated(..., "SAME", NHWC/HWIO)
 - ``conv2d_transpose_shift`` == lax.conv_transpose(..., "SAME") — implemented
@@ -16,8 +16,8 @@ the tensors in their natural layout and measures ~2.2x faster at C=8
 "bias"). NOTE the flax auto-generated module *names* differ ("FastConv_0" vs
 "Conv_0"), so whole-model checkpoints saved before a block switched
 implementations do NOT restore — switching is free for new models only.
-Above ``_FAST_MAX_C`` channels the stock conv path is used (XLA reaches good
-MXU utilization there).
+The stock conv path is used whenever ``_use_shift`` says XLA wins (see its
+docstring for the measured crossover).
 """
 
 from __future__ import annotations
@@ -28,7 +28,14 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-_FAST_MAX_C = 64  # beyond this, XLA convs reach good MXU utilization
+def _use_shift(ci: int, co: int) -> bool:
+    """Slope-timed on TPU v5e (tools/conv_probe3.py, 1376x928 spatial): the
+    shift-einsum path wins only when one side is <=8 channels and the other
+    <=16 (it is HBM-bandwidth-bound there; stock XLA conv picks a pathological
+    algorithm at 8->8 f32). From 16->16 upward the stock conv is 1.4-4x faster
+    (12.5 TF/s at 48ch, 55-75 TF/s at 128ch). Round 1 measured the opposite
+    because per-dispatch wall timings carried a ~50 ms host round-trip."""
+    return min(ci, co) <= 8 and max(ci, co) <= 16
 
 
 def conv2d_shift(x: jnp.ndarray, k: jnp.ndarray, stride: int = 1) -> jnp.ndarray:
@@ -148,7 +155,7 @@ class FastConvTranspose(nn.Module):
         dt = self.dtype or x.dtype
         xc = x.astype(dt)
         kc = kernel.astype(dt)
-        if max(Ci, self.features) <= _FAST_MAX_C and self.strides[0] == self.strides[1]:
+        if _use_shift(Ci, self.features) and self.strides[0] == self.strides[1]:
             y = conv2d_transpose_shift(xc, kc, self.strides[0])
         else:
             y = jax.lax.conv_transpose(
@@ -180,7 +187,7 @@ class FastConv(nn.Module):
         dt = self.dtype or x.dtype
         xc = x.astype(dt)
         kc = kernel.astype(dt)
-        if max(Ci, self.features) <= _FAST_MAX_C and self.strides[0] == self.strides[1]:
+        if _use_shift(Ci, self.features) and self.strides[0] == self.strides[1]:
             y = conv2d_shift(xc, kc, self.strides[0])
         else:
             y = jax.lax.conv_general_dilated(

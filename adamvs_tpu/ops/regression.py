@@ -71,6 +71,23 @@ def online_softmax_update(
     )
 
 
+def online_softmax_merge(a: OnlineSoftmax, b: OnlineSoftmax) -> OnlineSoftmax:
+    """Merge two partial streams (associative + commutative): the algebraic
+    basis for sharding the depth-hypothesis axis over a mesh — each shard
+    scans its depth block locally, then partial states tree-reduce
+    (psum-style) to the full-sweep state. Exact, not approximate."""
+    m_new = jnp.maximum(a.m, b.m)
+    # -inf - -inf = nan when merging two still-empty states (padded shards)
+    sa = jnp.where(a.m == m_new, 1.0, jnp.exp(a.m - m_new))
+    sb = jnp.where(b.m == m_new, 1.0, jnp.exp(b.m - m_new))
+    return OnlineSoftmax(
+        m=m_new,
+        s=a.s * sa + b.s * sb,
+        ds=a.ds * sa + b.ds * sb,
+        pmax=jnp.maximum(a.pmax * sa, b.pmax * sb),
+    )
+
+
 def online_softmax_finalize(state: OnlineSoftmax) -> tuple[jnp.ndarray, jnp.ndarray]:
     """(depth, confidence): softmax-regressed depth and max softmax probability."""
     s = state.s + 1e-10

@@ -142,6 +142,82 @@ def banded_bilinear_sample(
 
 
 @functools.partial(
+    jax.jit,
+    static_argnames=("height", "width", "tile_h", "tile_w", "row_band", "col_band"),
+)
+def band_overflow(
+    u: jnp.ndarray,  # [B,N,h,w] source-pixel coords (as fed to the sampler)
+    v: jnp.ndarray,
+    height: int,
+    width: int,
+    tile_h: int = 8,
+    tile_w: int = 128,
+    row_band: int = 32,
+    col_band: int = 256,
+) -> dict[str, jnp.ndarray]:
+    """Detect the banded sampler's silent failure mode: in-image samples
+    farther than the static band from their tile's minimum coordinate get
+    ZERO contribution (indistinguishable from out-of-image samples). Returns
+    per-call diagnostics — ``overflow_frac`` is the fraction of in-image
+    samples that the banded/pallas kernels would silently zero, and
+    ``max_vspread``/``max_uspread`` are the worst per-tile coordinate spreads
+    (must be <= row_band-1 / col_band-1 for exactness). Use in debug paths,
+    tests, and the bench self-test; the hot kernels do not pay for it."""
+    B, N, h, w = u.shape
+    rb = min(row_band, height)
+    cb = min(col_band, width)
+    ph = (-h) % tile_h
+    pw = (-w) % tile_w
+    if ph or pw:
+        u = jnp.pad(u, ((0, 0), (0, 0), (0, ph), (0, pw)), constant_values=-1e9)
+        v = jnp.pad(v, ((0, 0), (0, 0), (0, ph), (0, pw)), constant_values=-1e9)
+    hp, wp = h + ph, w + pw
+    P = tile_h * tile_w
+
+    def fold(x):
+        x = x.reshape(B * N, hp // tile_h, tile_h, wp // tile_w, tile_w)
+        return x.transpose(0, 1, 3, 2, 4).reshape(-1, P)
+
+    uu, vv = fold(u), fold(v)
+    big = 1e9
+    in_img = (uu > -1) & (uu < width) & (vv > -1) & (vv < height)
+    safe_u = jnp.where(jnp.abs(uu) < big, uu, big)
+    safe_v = jnp.where(jnp.abs(vv) < big, vv, big)
+    umin = jnp.clip(jnp.floor(jnp.min(safe_u, axis=-1, keepdims=True)), 0, width - cb)
+    vmin = jnp.clip(jnp.floor(jnp.min(safe_v, axis=-1, keepdims=True)), 0, height - rb)
+    # a sample contributes iff its hat weights overlap the band: lv in (-1, rb)
+    lost = in_img & ((vv - vmin >= rb) | (uu - umin >= cb))
+    vspread = jnp.where(in_img, vv - vmin, 0.0)
+    uspread = jnp.where(in_img, uu - umin, 0.0)
+    denom = jnp.maximum(jnp.sum(in_img), 1)
+    return {
+        "overflow_frac": jnp.sum(lost) / denom,
+        "max_vspread": jnp.max(vspread),
+        "max_uspread": jnp.max(uspread),
+    }
+
+
+def plane_sweep_band_overflow(
+    src_feat_hw: tuple[int, int],
+    src_proj: jnp.ndarray,
+    ref_proj: jnp.ndarray,
+    depth: jnp.ndarray,
+    grid_hw: tuple[int, int] | None = None,
+    **band_kw,
+) -> dict[str, jnp.ndarray]:
+    """``band_overflow`` on the coordinates a plane-sweep warp would sample."""
+    if depth.ndim == 4:
+        H, W = depth.shape[2:4]
+    elif grid_hw is not None:
+        H, W = grid_hw
+    else:
+        H, W = src_feat_hw
+    rot, trans = warp_transform(src_proj, ref_proj)
+    u, v = _source_coords(rot, trans, depth, H, W)
+    return band_overflow(u, v, src_feat_hw[0], src_feat_hw[1], **band_kw)
+
+
+@functools.partial(
     jax.jit, static_argnames=("grid_hw", "tile_h", "tile_w", "row_band", "col_band")
 )
 def plane_sweep_warp_banded(

@@ -7,15 +7,27 @@ predict_whu.py:30-41), numdepth=192 — one full depth map per iteration on one
 chip, steady-state.
 
 Prints ONE JSON line:
-    {"metric": "...", "value": N, "unit": "depth_maps/s/chip", "vs_baseline": N}
+    {"metric": "...", "value": N, "unit": "depth_maps/s/chip",
+     "vs_baseline": N, "tflops_per_s": N, ...}
 
 ``vs_baseline`` compares against the PyTorch reference on a datacenter GPU.
-The reference repo publishes no throughput (BASELINE.md); the constant below
-is an estimate for the reference's streaming predict path (python-loop GRU
-over 192+48 depth slices x 3 stages at this resolution on a V100/3090-class
-GPU, ~10 s per view): 0.1 depth-maps/s. The north-star target is >=5x this.
+The reference publishes no throughput; see BASELINE.md "Throughput baseline
+derivation" for the arithmetic behind REF_GPU_DEPTH_MAPS_PER_S (model FLOPs
+from XLA cost analysis x an assumed reference-GPU efficiency). The north-star
+target is >=5x it. ``tflops_per_s`` / ``hbm_gbps`` are the roofline
+cross-check: achieved = XLA-counted flops (or bytes) / measured time, so the
+headline number also stands alone against the chip peak (TPU v5e: ~197 bf16 /
+~49 f32 TFLOP/s, ~819 GB/s HBM).
+
+``--selftest`` additionally verifies warp-kernel numerics ON DEVICE: each
+selectable warp impl is compared against the exact XLA gather warp at every
+cascade stage's true shape/geometry, and the band-overflow detector
+(ops/warp_banded.py) reports the fraction of samples the static band would
+silently zero. Results are embedded in the same JSON line.
 
 Usage: python bench.py [--small] [--iters N] [--model adamvs|msrednet]
+                       [--warp_impl ...] [--dtype f32|bf16] [--batch N]
+                       [--selftest]
 """
 
 import argparse
@@ -29,7 +41,33 @@ import numpy as np
 # amortize the (remote) TPU compile across runs
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
 
-REF_GPU_DEPTH_MAPS_PER_S = 0.1  # documented estimate, see module docstring
+REF_GPU_DEPTH_MAPS_PER_S = 0.1  # derivation in BASELINE.md
+
+
+def make_inputs(height, width, views, batch):
+    """Bench scene: plausible aerial predict geometry. proj = K @ T with
+    focal-scaled translations (f*baseline): baselines ~10-40m at 300-500m
+    depth give 50-300px disparities like real WHU_OMVS flights."""
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(0)
+    B, V = batch, views
+    imgs = jnp.asarray(rng.randn(B, V, height, width, 3).astype(np.float32))
+    proj = np.tile(np.eye(4, dtype=np.float32), (B, V, 1, 1))
+    for v in range(V):
+        proj[:, v, 0, 0] = 2200.0
+        proj[:, v, 1, 1] = 2200.0
+        proj[:, v, 0, 2] = width / 2
+        proj[:, v, 1, 2] = height / 2
+        proj[:, v, 0, 3] = 2200.0 * 10.0 * v  # f * (10m per-view baseline)
+    projs = {}
+    for k in (1, 2, 3):
+        s = 2 ** (3 - k)
+        p = proj.copy()
+        p[:, :, :2, :] /= s
+        projs[f"stage{k}"] = jnp.asarray(p)
+    dv = jnp.asarray(np.tile(np.array([[300.0, 500.0]], np.float32), (B, 1)))
+    return imgs, projs, dv
 
 
 def run_bench(height, width, views, numdepth, iters, model_name, warmup=1,
@@ -45,28 +83,12 @@ def run_bench(height, width, views, numdepth, iters, model_name, warmup=1,
     if dtype == "bf16":
         kw["dtype"] = jnp.bfloat16
     model = build_model(model_name, **kw)
-    rng = np.random.RandomState(0)
-    B, V = batch, views
-    imgs = jnp.asarray(rng.randn(B, V, height, width, 3).astype(np.float32))
-    proj = np.tile(np.eye(4, dtype=np.float32), (B, V, 1, 1))
-    # plausible aerial camera geometry (focal ~2200px at half-res, small baselines)
-    for v in range(V):
-        proj[:, v, 0, 0] = 2200.0
-        proj[:, v, 1, 1] = 2200.0
-        proj[:, v, 0, 2] = width / 2
-        proj[:, v, 1, 2] = height / 2
-        proj[:, v, 0, 3] = 150.0 * v
-    projs = {}
-    for k in (1, 2, 3):
-        s = 2 ** (3 - k)
-        p = proj.copy()
-        p[:, :, :2, :] /= s
-        projs[f"stage{k}"] = jnp.asarray(p)
-    dv = jnp.asarray(np.tile(np.array([[300.0, 500.0]], np.float32), (B, 1)))
+    imgs, projs, dv = make_inputs(height, width, views, batch)
+    B = batch
 
     # conv params are spatial-size-independent: init cheaply at a small size
     variables = model.init(
-        jax.random.PRNGKey(0), jnp.zeros((B, V, 64, 96, 3), jnp.float32),
+        jax.random.PRNGKey(0), jnp.zeros((B, views, 64, 96, 3), jnp.float32),
         projs, dv, num_depth=numdepth,
     )
 
@@ -80,6 +102,17 @@ def run_bench(height, width, views, numdepth, iters, model_name, warmup=1,
         # relay; fetching a device-reduced scalar guarantees completion
         return float(jnp.sum(x))
 
+    # XLA-counted flops/bytes for the roofline columns (counts the math as
+    # written, incl. the one-hot hat matmuls of the banded/pallas warps)
+    flops = bytes_accessed = None
+    try:
+        cost = fwd.lower(variables, imgs, projs, dv).compile().cost_analysis()
+        if cost:
+            flops = float(cost.get("flops", 0.0)) or None
+            bytes_accessed = float(cost.get("bytes accessed", 0.0)) or None
+    except Exception:
+        pass
+
     for _ in range(warmup):
         d, p = fwd(variables, imgs, projs, dv)
         sync(d)
@@ -90,7 +123,53 @@ def run_bench(height, width, views, numdepth, iters, model_name, warmup=1,
         d, p = fwd(variables, imgs, projs, dv)
         sync(d)
         times.append(time.perf_counter() - t0)
-    return float(np.median(times))
+    return float(np.median(times)), flops, bytes_accessed
+
+
+def run_selftest(height, width, views, bands=None):
+    """On-device warp parity: every impl vs the exact gather warp, one mid-
+    sweep slice per cascade stage at true stage shapes + bench geometry, plus
+    band-overflow diagnostics. Returns a JSON-embeddable dict."""
+    import jax
+    import jax.numpy as jnp
+
+    from adamvs_tpu.models.adamvs import get_warp_fn
+    from adamvs_tpu.ops.warp import _source_coords, warp_transform
+    from adamvs_tpu.ops.warp_banded import band_overflow
+
+    _, projs, _ = make_inputs(height, width, views, 1)
+    rng = np.random.RandomState(7)
+    out: dict[str, float] = {}
+    kw = {"bands": tuple(bands)} if bands else {}
+    gather = get_warp_fn("gather")
+    for si, (s, C) in enumerate([(4, 32), (2, 16), (1, 8)]):
+        h, w = height // s, width // s
+        feat = jnp.asarray(rng.randn(1, h, w, C).astype(np.float32))
+        sp = projs[f"stage{si+1}"][:, 1]
+        rp = projs[f"stage{si+1}"][:, 0]
+        # per-pixel hypothesis slice with gradient + noise (stage>=2 windows
+        # follow the previous depth map, which is not fronto-parallel)
+        base = np.linspace(320.0, 470.0, w, dtype=np.float32)[None, None, None, :]
+        depth = jnp.asarray(
+            np.broadcast_to(base, (1, 1, h, w))
+            + rng.randn(1, 1, h, w).astype(np.float32) * 2.0
+        )
+        ref = gather(feat, sp, rp, depth)
+        denom = float(jnp.std(ref)) + 1e-9
+        for impl in ("banded", "pallas", "pallas2", "pallas2bf16"):
+            try:
+                got = get_warp_fn(impl, **kw)(feat, sp, rp, depth) if kw else \
+                    get_warp_fn(impl)(feat, sp, rp, depth)
+                diff = jnp.abs(got - ref)
+                out[f"stage{si+1}_{impl}_rel_maxerr"] = round(float(jnp.max(diff)) / denom, 6)
+                out[f"stage{si+1}_{impl}_rel_meanerr"] = round(float(jnp.mean(diff)) / denom, 8)
+            except Exception as e:  # noqa: BLE001
+                out[f"stage{si+1}_{impl}_rel_maxerr"] = f"FAILED:{type(e).__name__}"
+        rot, trans = warp_transform(sp, rp)
+        u, v = _source_coords(rot, trans, depth, h, w)
+        diag = band_overflow(u, v, h, w)
+        out[f"stage{si+1}_band_overflow_frac"] = round(float(diag["overflow_frac"]), 8)
+    return out
 
 
 def main():
@@ -101,12 +180,15 @@ def main():
     ap.add_argument("--height", type=int, default=None)
     ap.add_argument("--width", type=int, default=None)
     ap.add_argument("--numdepth", type=int, default=192)
-    ap.add_argument("--warp_impl", default="banded", choices=["gather", "banded", "pallas", "pallas2"])
+    ap.add_argument("--warp_impl", default="pallas2bf16",
+                    choices=["gather", "banded", "pallas", "pallas2", "pallas2bf16"])
     ap.add_argument("--dtype", default="f32", choices=["f32", "bf16"])
     ap.add_argument("--batch", type=int, default=1,
                     help="frames per step; amortizes the serial depth recurrence")
     ap.add_argument("--bands", default=None,
                     help="row_band,col_band for banded/pallas warps (e.g. 16,128)")
+    ap.add_argument("--selftest", action="store_true",
+                    help="verify warp numerics on device and embed the report")
     args = ap.parse_args()
 
     if args.small:
@@ -117,11 +199,11 @@ def main():
         h = args.height
     if args.width:
         w = args.width
+    bands = [int(x) for x in args.bands.split(",")] if args.bands else None
 
-    sec_per_batch = run_bench(
+    sec_per_batch, flops, nbytes = run_bench(
         h, w, 5, nd, args.iters, args.model,
-        warp_impl=args.warp_impl, dtype=args.dtype, batch=args.batch,
-        bands=[int(x) for x in args.bands.split(",")] if args.bands else None,
+        warp_impl=args.warp_impl, dtype=args.dtype, batch=args.batch, bands=bands,
     )
     maps_per_s = args.batch / sec_per_batch
     result = {
@@ -129,7 +211,16 @@ def main():
         "value": round(maps_per_s, 5),
         "unit": "depth_maps/s/chip",
         "vs_baseline": round(maps_per_s / REF_GPU_DEPTH_MAPS_PER_S, 3),
+        "config": {
+            "warp_impl": args.warp_impl, "dtype": args.dtype, "batch": args.batch,
+        },
     }
+    if flops:
+        result["tflops_per_s"] = round(flops / sec_per_batch / 1e12, 3)
+    if nbytes:
+        result["hbm_gbps"] = round(nbytes / sec_per_batch / 1e9, 2)
+    if args.selftest:
+        result["selftest"] = run_selftest(h, w, 5, bands=bands)
     print(json.dumps(result))
     return result
 

@@ -80,3 +80,56 @@ def test_banded_batch_and_depth_axes():
     ref = bilinear_sample(feat, u, v)
     out = banded_bilinear_sample(feat, u, v, tile_h=8, tile_w=8, row_band=32, col_band=32)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_band_overflow_detector_flags_depth_discontinuity():
+    """The banded sampler silently zeros in-image samples farther than the
+    static band from a tile's min coordinate — possible only across extreme
+    depth discontinuities. The detector must flag exactly that geometry, stay
+    silent on smooth scenes, and its flag must coincide with banded != gather."""
+    from adamvs_tpu.ops.warp_banded import band_overflow, plane_sweep_band_overflow
+
+    rng = np.random.RandomState(5)
+    B, H, W, C = 1, 64, 256, 4  # source frame
+    h, w = 64, 96  # reference grid
+    feat = jnp.asarray(rng.randn(B, H, W, C).astype(np.float32))
+    ref_proj = np.eye(4, dtype=np.float32)[None].repeat(B, 0)
+    ref_proj[:, 0, 0] = ref_proj[:, 1, 1] = 2200.0
+    src_proj = ref_proj.copy()
+    # proj = K @ T, so the stored translation is focal-scaled: f*baseline.
+    # u(x, d) = x + 48000/d -> offset 160px at d=300, 80px at d=600
+    src_proj[:, 0, 3] = 48000.0
+    # col_band must cover tile_w + in-tile disparity spread: 64 is exact for
+    # smooth scenes at tile_w=32, overflowed by the 80px step-scene jump
+    bands = dict(tile_h=8, tile_w=32, row_band=32, col_band=64)
+
+    # smooth scene: constant depth -> zero overflow, banded == gather
+    depth_smooth = jnp.full((B, 1, h, w), 400.0, jnp.float32)
+    diag = plane_sweep_band_overflow(
+        (H, W), jnp.asarray(src_proj), jnp.asarray(ref_proj), depth_smooth, **bands
+    )
+    assert float(diag["overflow_frac"]) == 0.0
+    a = plane_sweep_warp(feat, jnp.asarray(src_proj), jnp.asarray(ref_proj),
+                         depth_smooth)
+    b = plane_sweep_warp_banded(
+        feat, jnp.asarray(src_proj), jnp.asarray(ref_proj), depth_smooth, **bands
+    )
+    np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=5e-3)
+
+    # step scene: 300 vs 600 inside one tile row -> u jumps 80px > col_band-1
+    step = np.full((B, 1, h, w), 300.0, np.float32)
+    step[:, :, :, w // 2:] = 600.0
+    depth_step = jnp.asarray(step)
+    diag = plane_sweep_band_overflow(
+        (H, W), jnp.asarray(src_proj), jnp.asarray(ref_proj), depth_step, **bands
+    )
+    assert float(diag["overflow_frac"]) > 0.0
+    assert float(diag["max_uspread"]) > 64 - 1
+
+    a = plane_sweep_warp(feat, jnp.asarray(src_proj), jnp.asarray(ref_proj), depth_step)
+    b = plane_sweep_warp_banded(
+        feat, jnp.asarray(src_proj), jnp.asarray(ref_proj), depth_step, **bands
+    )
+    # the discrepancy exists (that is the failure mode) and is what the
+    # detector quantifies
+    assert float(jnp.max(jnp.abs(a - b))) > 0.1

@@ -65,3 +65,23 @@ def test_pallas2_fallback_when_c_not_pow2():
     ref = bilinear_sample(feat, u, v)
     out = banded_bilinear_sample_pallas2(feat, u, v, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_pallas2_bf16_matmul_close():
+    """mm_dtype=bfloat16 quantizes only feature values + hat weights; output
+    must stay f32 and within bf16 relative error of the exact gather."""
+    rng = np.random.RandomState(4)
+    H, W, C = 64, 128, 8
+    feat = jnp.asarray(rng.randn(1, H, W, C).astype(np.float32))
+    y, x = np.meshgrid(np.arange(48, dtype=np.float32), np.arange(96, dtype=np.float32), indexing="ij")
+    u = jnp.asarray((x + 7.3 + 0.02 * x + 2 * np.sin(y / 17.0))[None, None])
+    v = jnp.asarray((y + 3.1 + 0.01 * x + 1.5 * np.sin(x / 23.0))[None, None])
+    ref = bilinear_sample(feat, u, v)
+    out = banded_bilinear_sample_pallas2(
+        feat, u, v, tile_h=8, tile_w=32, row_band=16, col_band=48, interpret=True,
+        mm_dtype=jnp.bfloat16,
+    )
+    assert out.dtype == jnp.float32
+    err = np.abs(np.asarray(out) - np.asarray(ref))
+    assert float(err.max()) < 0.05, float(err.max())
+    assert float(err.mean()) < 0.01, float(err.mean())
