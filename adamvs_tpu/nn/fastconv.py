@@ -5,11 +5,19 @@ pathological algorithm (measured 4.4 s for a 1.5 GFLOP 8->8 conv at f32);
 expressing the conv as a sum of 9 spatially-shifted ``[Cin,Cout]``
 contractions runs it at HBM bandwidth instead (tools/conv_probe3.py,
 slope-timed on device). At >=16 channels the stock conv wins and is used.
-These functions are exact drop-ins:
 
-- ``conv2d_shift``  == lax.conv_general_dilated(..., "SAME", NHWC/HWIO)
-- ``conv2d_transpose_shift`` == lax.conv_transpose(..., "SAME") — implemented
-  as zero-dilated input + shift conv (the textbook equivalence).
+Padding semantics are TORCH-ALIGNED, not XLA-SAME — this makes reference
+checkpoints importable bit-exactly (train/torch_import.py):
+
+- ``conv2d_shift(x, k, s)`` == ``torch.conv2d(stride=s, padding=(k-1)//2)``
+  with the kernel in HWIO. For stride 1 and odd k this IS XLA SAME; for
+  stride 2 XLA SAME pads asymmetrically (bottom/right only), shifting the
+  sampling grid one pixel vs torch's symmetric padding.
+- ``conv2d_transpose_shift(x, k, s)`` == ``torch.conv_transpose2d(stride=s,
+  padding=(k-1)//2, output_padding=s-1 [odd k])`` with the torch kernel
+  spatially FLIPPED and permuted to HWIO (torch's transposed conv convolves;
+  this runtime correlates — the import transform absorbs the flip). Output is
+  exactly ``s*H x s*W``.
 
 ``FastConv`` / ``FastConvTranspose`` have parameter *leaves* identical to
 ``nn.Conv`` / ``nn.ConvTranspose`` ("kernel" [kh,kw,Cin,Cout], optional
@@ -39,18 +47,18 @@ def _use_shift(ci: int, co: int) -> bool:
 
 
 def conv2d_shift(x: jnp.ndarray, k: jnp.ndarray, stride: int = 1) -> jnp.ndarray:
-    """SAME-padded conv via kh*kw shifted [Cin,Cout] einsums.
+    """Torch-padded conv via kh*kw shifted [Cin,Cout] einsums.
 
-    x [B,H,W,Cin], k [kh,kw,Cin,Cout] -> [B, ceil(H/s), ceil(W/s), Cout].
+    x [B,H,W,Cin], k [kh,kw,Cin,Cout] -> [B, Ho, Wo, Cout] with symmetric
+    padding (k-1)//2 per side (== torch.conv2d(padding=(k-1)//2));
+    Ho = (H + 2p - kh)//s + 1 (= ceil(H/s) for odd kh).
     """
     B, H, W, Ci = x.shape
     kh, kw, _, Co = k.shape
-    # XLA SAME padding: total = max((Ho-1)*s + k - H, 0), split low = total//2
-    Ho, Wo = -(-H // stride), -(-W // stride)
-    th = max((Ho - 1) * stride + kh - H, 0)
-    tw = max((Wo - 1) * stride + kw - W, 0)
-    ph0, ph1 = th // 2, th - th // 2
-    pw0, pw1 = tw // 2, tw - tw // 2
+    ph0 = ph1 = (kh - 1) // 2
+    pw0 = pw1 = (kw - 1) // 2
+    Ho = (H + 2 * ph0 - kh) // stride + 1
+    Wo = (W + 2 * pw0 - kw) // stride + 1
     # extra right/bottom padding so every (dy, dx) slice below stays in range
     ph1 += kh
     pw1 += kw
@@ -72,9 +80,9 @@ def conv2d_shift(x: jnp.ndarray, k: jnp.ndarray, stride: int = 1) -> jnp.ndarray
 
 
 def conv2d_transpose_shift(x: jnp.ndarray, k: jnp.ndarray, stride: int = 2) -> jnp.ndarray:
-    """Stride-s transposed conv with output exactly ``s*H x s*W`` (flax
-    ``nn.ConvTranspose(strides=(s,s), padding='SAME')`` semantics), as a
-    shift-einsum over the kernel's stride phases.
+    """Stride-s transposed conv with output exactly ``s*H x s*W``, torch grid
+    alignment (see module docstring), as a shift-einsum over the kernel's
+    stride phases.
 
     y[s*i + a, s*j + b] = sum over kernel taps (ky, kx) with
     (ky, kx) ≡ (a + pl, b + pl) offsets hitting integer input coords — for
@@ -85,10 +93,11 @@ def conv2d_transpose_shift(x: jnp.ndarray, k: jnp.ndarray, stride: int = 2) -> j
     B, H, W, Ci = x.shape
     kh, kw, _, Co = k.shape
 
-    # transposed conv == conv with lhs_dilation s; output (H-1)*s+1+pl+pr-(k-1)
-    # = s*H requires pl+pr = k+s-2, split per lax._conv_transpose_padding SAME
+    # transposed conv == correlation with lhs_dilation s and per-side padding
+    # (pl, pr); torch(p=(k-1)//2, op) has pl = k-1-p and output s*H forces
+    # pl+pr = k+s-2 (pr = pl+op)
     def pad_lo(k):
-        return k - 1 if stride > k - 1 else -(-(k + stride - 2) // 2)
+        return k - 1 - (k - 1) // 2
 
     pl_h = pad_lo(kh)
     pl_w = pad_lo(kw)
@@ -158,9 +167,16 @@ class FastConvTranspose(nn.Module):
         if _use_shift(Ci, self.features) and self.strides[0] == self.strides[1]:
             y = conv2d_transpose_shift(xc, kc, self.strides[0])
         else:
-            y = jax.lax.conv_transpose(
-                xc, kc, self.strides, "SAME",
+            # same torch-aligned grid as the shift path: correlation with
+            # lhs dilation s and padding (k-1-p, k-1-p+op), p=(k-1)//2
+            pads = []
+            for kk, s in zip((kh, kw), self.strides):
+                pl = kk - 1 - (kk - 1) // 2
+                pads.append((pl, kk + s - 2 - pl))
+            y = jax.lax.conv_general_dilated(
+                xc, kc, (1, 1), tuple(pads), lhs_dilation=self.strides,
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.float32,
             ).astype(dt)
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros, (self.features,))
@@ -190,8 +206,9 @@ class FastConv(nn.Module):
         if _use_shift(Ci, self.features) and self.strides[0] == self.strides[1]:
             y = conv2d_shift(xc, kc, self.strides[0])
         else:
+            pad = (((kh - 1) // 2,) * 2, ((kw - 1) // 2,) * 2)
             y = jax.lax.conv_general_dilated(
-                xc, kc, self.strides, "SAME",
+                xc, kc, self.strides, pad,
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
                 preferred_element_type=jnp.float32,
             ).astype(dt)

@@ -28,12 +28,19 @@ def initialize_distributed(
     num_processes: int | None = None,
     process_id: int | None = None,
 ) -> None:
-    """Idempotent ``jax.distributed.initialize`` with env-var fallbacks."""
-    if jax.process_count() > 1:
+    """Idempotent ``jax.distributed.initialize`` with env-var fallbacks.
+
+    NOTE: must not touch ``jax.process_count()``/``jax.devices()`` before
+    initializing — they eagerly create the local (single-process) backend,
+    after which distributed initialization cannot take effect."""
+    from jax._src import distributed as _dist
+
+    if _dist.global_state.client is not None:
         return  # already initialized
     coordinator = coordinator or os.environ.get("JAX_COORDINATOR")
     num_processes = num_processes or _int_env("NUM_PROCESSES")
     process_id = process_id if process_id is not None else _int_env("PROCESS_ID")
+    explicit = coordinator is not None and num_processes is not None
     kwargs = {}
     if coordinator:
         kwargs["coordinator_address"] = coordinator
@@ -44,8 +51,12 @@ def initialize_distributed(
     try:
         jax.distributed.initialize(**kwargs)
     except (ValueError, RuntimeError):
-        # single-process runs (or already-initialized runtimes) proceed as-is
-        pass
+        if explicit:
+            # a requested multi-process setup failing must be LOUD — the old
+            # silent fallback masked exactly this (each process proceeding
+            # single-process and re-doing the whole work list)
+            raise
+        # auto-detection on single-process runs proceeds as-is
 
 
 def _int_env(name: str) -> int | None:

@@ -1,0 +1,100 @@
+"""Multi-host execution: two REAL processes (CPU backend, localhost
+coordinator) drive ``initialize_distributed`` and the predict work queue —
+the paths that had never run with process_count > 1. Asserts both processes
+join the coordination service, partition the view list disjointly, and
+together cover every work item with valid outputs."""
+
+import os
+import socket
+import subprocess
+import sys
+import textwrap
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+WORKER = textwrap.dedent("""
+    import json, os, sys
+    os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    sys.path.insert(0, {repo!r})
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    from adamvs_tpu.parallel.distributed import initialize_distributed
+
+    pid = int(sys.argv[1])
+    initialize_distributed(coordinator={coord!r}, num_processes=2, process_id=pid)
+    assert jax.process_count() == 2, jax.process_count()
+    assert jax.process_index() == pid
+
+    from adamvs_tpu.data.lists import build_predict_list
+    from adamvs_tpu.models import AdaMVS
+    from adamvs_tpu.predict.engine import PredictEngine
+
+    source = build_predict_list({src!r}, view_num=3)
+    model = AdaMVS(ndepths=(8, 4), depth_intervals_ratio=(4.0, 2.0), base=4,
+                   cr_base=(4, 4))
+    import jax.numpy as jnp
+    # conv params are size-independent: init on a small padded dummy shape
+    imgs = jnp.zeros((1, 3, 64, 64, 3), jnp.float32)
+    projs = {{f"stage{{k}}": jnp.tile(jnp.eye(4), (1, 3, 1, 1)).astype(jnp.float32)
+             for k in (1, 2)}}
+    dv = jnp.asarray([[300.0, 500.0]], jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), imgs, projs, dv, num_depth=16)
+    eng = PredictEngine(model, variables, num_depth=16, log_fn=lambda *_: None)
+    written = eng.run(source, {out!r} + f"/p{{pid}}",
+                                 load_kwargs={{"resize_scale": 1.0}})
+    # several views share one vid folder: dedupe folders, collect pfms
+    names = sorted({{f for d in set(written) for f in os.listdir(d)
+                    if f.endswith("_init.pfm")}})
+    print("RESULT" + json.dumps({{"pid": pid, "names": names}}))
+""")
+
+
+def test_two_process_predict_work_queue(tmp_path):
+    from adamvs_tpu.data.synthetic import make_scene, write_predict_source_tree
+
+    scene = make_scene(num_views=4, height=96, width=128, seed=0)
+    src = str(tmp_path / "source")
+    write_predict_source_tree(src, scene)
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    coord = f"localhost:{port}"
+    out = str(tmp_path / "out")
+    script = WORKER.format(repo=REPO, coord=coord, src=src, out=out)
+
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("XLA_FLAGS", None)  # no 8-device virtualization in the workers
+    procs = [
+        subprocess.Popen([sys.executable, "-c", script, str(pid)],
+                         stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                         text=True, env=env, cwd=REPO)
+        for pid in (0, 1)
+    ]
+    outs = []
+    for p in procs:
+        stdout, _ = p.communicate(timeout=560)
+        outs.append(stdout)
+        assert p.returncode == 0, stdout[-3000:]
+
+    import json
+
+    results = {}
+    for stdout in outs:
+        line = [l for l in stdout.splitlines() if l.startswith("RESULT")][0]
+        d = json.loads(line[len("RESULT"):])
+        results[d["pid"]] = d["names"]
+
+    # disjoint round-robin split covering all 4 views
+    assert len(results) == 2
+    all_names = sorted(results[0] + results[1])
+    assert set(results[0]).isdisjoint(results[1])
+    assert len(results[0]) == len(results[1]) == 2
+    assert all_names == sorted(
+        f"view_{i:03d}_init.pfm" for i in range(4)
+    )

@@ -1,0 +1,304 @@
+"""Reference-checkpoint import parity: a randomly-initialized torch model in
+the reference's exact module layout (AdaMVSNet naming, adamvs.py:316-341)
+must produce the SAME forward as the flax model after
+train/torch_import.py's mapping — numeric cross-framework proof, usable the
+day real published weights appear.
+
+The torch replicas below mirror the reference structure (cited per class)
+with randomized weights AND randomized BatchNorm running stats (so a swapped
+mean/var mapping cannot cancel out).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import torch
+import torch.nn as tnn
+import torch.nn.functional as F
+
+from adamvs_tpu.models import AdaMVS
+from adamvs_tpu.nn.costreg import AdaRedCell, CostRegNet2D
+from adamvs_tpu.nn.featurenet import AdaFeatureNet
+from adamvs_tpu.train.torch_import import import_adamvs_state_dict
+
+KEY = jax.random.PRNGKey(0)
+
+
+# --- torch replicas of the reference blocks (module.py:164-301, 5-52) ------
+
+class TConv(tnn.Module):  # reference Conv2d wrapper, module.py:164-198
+    def __init__(self, ci, co, k, stride=1, bn=True, relu=True):
+        super().__init__()
+        self.conv = tnn.Conv2d(ci, co, k, stride=stride, padding=(k - 1) // 2,
+                               bias=not bn)
+        self.bn = tnn.BatchNorm2d(co) if bn else None
+        self.relu = relu
+
+    def forward(self, x):
+        x = self.conv(x)
+        if self.bn is not None:
+            x = self.bn(x)
+        return F.relu(x) if self.relu else x
+
+
+class TDeconv(tnn.Module):  # reference Deconv2d, module.py:207-245
+    def __init__(self, ci, co, k=3):
+        super().__init__()
+        self.conv = tnn.ConvTranspose2d(ci, co, k, stride=2, padding=1,
+                                        output_padding=1, bias=False)
+        self.bn = tnn.BatchNorm2d(co)
+
+    def forward(self, x):
+        return F.relu(self.bn(self.conv(x)))
+
+
+class TDeConv2dFuse(tnn.Module):  # module.py:506-524
+    def __init__(self, ci, co, k=3):
+        super().__init__()
+        self.deconv = TDeconv(ci, co, k)
+        self.conv = TConv(2 * co, co, k)
+
+    def forward(self, skip, x):
+        x = self.deconv(x)
+        return self.conv(torch.cat((x, skip), dim=1))
+
+
+class TConvBnReLU(tnn.Module):  # module.py:254-262
+    def __init__(self, ci, co, k=3, stride=1):
+        super().__init__()
+        self.conv = tnn.Conv2d(ci, co, k, stride=stride, padding=(k - 1) // 2,
+                               bias=False)
+        self.bn = tnn.BatchNorm2d(co)
+
+    def forward(self, x):
+        return F.relu(self.bn(self.conv(x)))
+
+
+class TConvReLU(tnn.Module):  # module.py:264-271
+    def __init__(self, ci, co, k=3, stride=1):
+        super().__init__()
+        self.conv = tnn.Conv2d(ci, co, k, stride=stride, padding=(k - 1) // 2,
+                               bias=False)
+
+    def forward(self, x):
+        return F.relu(self.conv(x))
+
+
+class TConvGRU(tnn.Module):  # reference ConvGRUCell, module.py:5-52
+    def __init__(self, ci, hidden, k=3):
+        super().__init__()
+        p = (k - 1) // 2
+        self.conv_gates = tnn.Sequential(
+            tnn.Conv2d(ci + hidden, 2 * hidden, k, padding=p, bias=True))
+        self.convc = tnn.Sequential(
+            tnn.Conv2d(ci + hidden, hidden, k, padding=p, bias=True))
+
+    def forward(self, x, h):
+        gates = self.conv_gates(torch.cat((x, h), dim=1))
+        r, u = torch.chunk(gates, 2, dim=1)
+        r, u = torch.sigmoid(r), torch.sigmoid(u)
+        c = torch.tanh(self.convc(torch.cat((x, r * h), dim=1)))
+        out = u * h + (1 - u) * c
+        return out, out
+
+
+class TFeatureNet0(tnn.Module):  # reference FeatureNet0, adamvs.py:49-152
+    def __init__(self, b=8):
+        super().__init__()
+        self.conv0 = tnn.Sequential(TConv(3, b, 3), TConv(b, b, 3))
+        self.conv1 = tnn.Sequential(TConv(b, 2 * b, 5, 2), TConv(2 * b, 2 * b, 3),
+                                    TConv(2 * b, 2 * b, 3))
+        self.conv2 = tnn.Sequential(TConv(2 * b, 4 * b, 5, 2), TConv(4 * b, 4 * b, 3),
+                                    TConv(4 * b, 4 * b, 3))
+        self.branch1_1 = tnn.Sequential(tnn.AvgPool2d(4, 4), TConv(4 * b, 2 * b, 1))
+        self.branch1_2 = tnn.Sequential(tnn.AvgPool2d(8, 8), TConv(4 * b, 2 * b, 1))
+        self.out1 = tnn.Conv2d(8 * b, 4 * b, 1, bias=False)
+        self.deconv1 = TDeConv2dFuse(4 * b, 2 * b, 3)
+        self.deconv2 = TDeConv2dFuse(2 * b, b, 3)
+        self.branch2_1 = tnn.Sequential(tnn.AvgPool2d(4, 4), TConv(2 * b, b, 1))
+        self.branch2_2 = tnn.Sequential(tnn.AvgPool2d(8, 8), TConv(2 * b, b, 1))
+        self.branch3_1 = tnn.Sequential(tnn.AvgPool2d(4, 4), TConv(b, b // 2, 1))
+        self.branch3_2 = tnn.Sequential(tnn.AvgPool2d(8, 8), TConv(b, b // 2, 1))
+        self.out2 = tnn.Conv2d(4 * b, 2 * b, 1, bias=False)
+        self.out3 = tnn.Conv2d(2 * b, b, 1, bias=False)
+
+    def forward(self, x):
+        c0 = self.conv0(x)
+        c1 = self.conv1(c0)
+        c2 = self.conv2(c1)
+        out = {}
+
+        def spp(intra, b1m, b2m, outm):
+            sz = (intra.shape[2], intra.shape[3])
+            b1 = F.interpolate(b1m(intra), sz, mode="bilinear")
+            b2 = F.interpolate(b2m(intra), sz, mode="bilinear")
+            return outm(torch.cat((b1, b2, intra), 1))
+
+        intra = c2
+        out["stage1"] = spp(intra, self.branch1_1, self.branch1_2, self.out1)
+        intra = self.deconv1(c1, intra)
+        out["stage2"] = spp(intra, self.branch2_1, self.branch2_2, self.out2)
+        intra = self.deconv2(c0, intra)
+        out["stage3"] = spp(intra, self.branch3_1, self.branch3_2, self.out3)
+        return out
+
+
+class TCostRegNet2D(tnn.Module):  # reference CostRegNet2D, adamvs.py:198-238
+    def __init__(self, c):
+        super().__init__()
+        self.conv0 = TConvBnReLU(c, c)
+        self.conv1 = TConvBnReLU(c, c, stride=2)
+        self.conv2 = TConvBnReLU(c, c)
+        self.conv3 = TConvBnReLU(c, c, stride=2)
+        self.conv4 = TConvBnReLU(c, c)
+        self.conv5 = TConvBnReLU(c, c, stride=2)
+        self.conv6 = TConvBnReLU(c, c)
+
+        def up():
+            return tnn.Sequential(
+                tnn.ConvTranspose2d(c, c, 3, padding=1, output_padding=1,
+                                    stride=2, bias=False),
+                tnn.BatchNorm2d(c), tnn.ReLU())
+
+        self.conv7 = up()
+        self.conv9 = up()
+        self.conv11 = up()
+        self.prob = tnn.Conv2d(c, c, 3, stride=1, padding=1)
+
+    def forward(self, x):
+        conv0 = self.conv0(x)
+        conv2 = self.conv2(self.conv1(conv0))
+        conv4 = self.conv4(self.conv3(conv2))
+        x = self.conv6(self.conv5(conv4))
+        x = conv4 + self.conv7(x)
+        x = conv2 + self.conv9(x)
+        x = conv0 + self.conv11(x)
+        return self.prob(x)
+
+
+class TCostRegNetRED(tnn.Module):  # reference CostRegNetRED, adamvs.py:157-195
+    def __init__(self, ci, up=True, b=8):
+        super().__init__()
+        self.conv1 = TConvReLU(ci, b)
+        self.conv_gru1 = TConvGRU(b, b)
+        self.conv2 = TConvReLU(b, 2 * b, stride=2)
+        self.conv_gru2 = TConvGRU(2 * b, 2 * b)
+        self.upconv1 = tnn.ConvTranspose2d(2 * b, b, 3, stride=2, padding=1,
+                                           output_padding=1)
+        if up:
+            self.upconv2d = tnn.ConvTranspose2d(b, 1, 3, stride=2, padding=1,
+                                                output_padding=1)
+        else:
+            self.upconv2d = tnn.Conv2d(b, 1, 3, stride=1, padding=1)
+
+    def forward_slice(self, cost, s1, s2):
+        c1 = self.conv1(cost)
+        r1, s1 = self.conv_gru1(c1, s1)
+        c2 = self.conv2(r1)
+        r2, s2 = self.conv_gru2(c2, s2)
+        u1 = F.relu(self.upconv1(r2) + r1)
+        return self.upconv2d(u1), s1, s2
+
+
+class TAdaMVSNet(tnn.Module):
+    """Parameter container matching the reference AdaMVSNet state_dict tree
+    (adamvs.py:316-341: one CostRegNet2D per DepthNet0, even though only
+    stage 1's runs)."""
+
+    def __init__(self, b=8, d0=8, chans=(32, 16, 8)):
+        super().__init__()
+        self.feature = TFeatureNet0(b)
+
+        class TDepthNet0(tnn.Module):
+            def __init__(self, c, up):
+                super().__init__()
+                self.reg = TCostRegNet2D(d0)
+                self.reg_fuse = TCostRegNetRED(c, up, 8)
+
+        self.DepthNet = tnn.ModuleList([
+            TDepthNet0(chans[0], True),
+            TDepthNet0(chans[1], True),
+            TDepthNet0(chans[2], False),
+        ])
+
+
+def _randomized_state_dict(model: tnn.Module, seed=0):
+    rng = np.random.RandomState(seed)
+    sd = model.state_dict()
+    for k, v in sd.items():
+        if k.endswith("num_batches_tracked"):
+            continue
+        arr = rng.randn(*v.shape).astype(np.float32) * 0.3
+        if k.endswith("running_var"):
+            arr = np.abs(arr) + 0.5
+        sd[k] = torch.tensor(arr)
+    model.load_state_dict(sd)
+    model.eval()
+    return sd
+
+
+def _import_tiny():
+    tm = TAdaMVSNet()
+    sd = _randomized_state_dict(tm)
+    model = AdaMVS(ndepths=(8, 4, 4), depth_intervals_ratio=(4.0, 2.0, 1.0),
+                   base=8, cr_base=(8, 8, 8))
+    imgs = jnp.zeros((1, 2, 64, 64, 3), jnp.float32)
+    projs = {f"stage{k}": jnp.tile(jnp.eye(4), (1, 2, 1, 1)).astype(jnp.float32)
+             for k in (1, 2, 3)}
+    dv = jnp.asarray([[300.0, 500.0, 25.0]], jnp.float32)
+    variables = model.init(KEY, imgs, projs, dv)
+    new_vars, skipped = import_adamvs_state_dict(sd, variables)
+    assert all(k.startswith(("DepthNet.1.reg.", "DepthNet.2.reg.")) for k in skipped)
+    return tm, new_vars
+
+
+def test_feature_net_forward_parity():
+    tm, variables = _import_tiny()
+    rng = np.random.RandomState(1)
+    x = rng.randn(1, 64, 64, 3).astype(np.float32)
+    with torch.no_grad():
+        ref = tm.feature(torch.tensor(x.transpose(0, 3, 1, 2)))
+    fvars = {"params": variables["params"]["feature"],
+             "batch_stats": variables["batch_stats"]["feature"]}
+    out = AdaFeatureNet(8).apply(fvars, jnp.asarray(x), False)
+    for k in ("stage1", "stage2", "stage3"):
+        got = np.asarray(out[k]).transpose(0, 3, 1, 2)
+        np.testing.assert_allclose(got, ref[k].numpy(), rtol=1e-4, atol=1e-4)
+
+
+def test_reg2d_forward_parity():
+    tm, variables = _import_tiny()
+    rng = np.random.RandomState(2)
+    x = rng.randn(1, 32, 40, 8).astype(np.float32)  # D=8 as channels
+    with torch.no_grad():
+        ref = tm.DepthNet[0].reg(torch.tensor(x.transpose(0, 3, 1, 2)))
+    rvars = {"params": variables["params"]["reg2d"],
+             "batch_stats": variables["batch_stats"]["reg2d"]}
+    out = CostRegNet2D(8).apply(rvars, jnp.asarray(x), False)
+    np.testing.assert_allclose(np.asarray(out).transpose(0, 3, 1, 2),
+                               ref.numpy(), rtol=1e-4, atol=1e-4)
+
+
+def test_reg_fuse_recurrent_parity():
+    """3 depth slices through the recurrent regularizer, GRU states carried —
+    torch slice loop vs our scan cell, for an up stage and the final stage."""
+    tm, variables = _import_tiny()
+    rng = np.random.RandomState(3)
+    for idx, (c, up) in enumerate([(32, True), (16, True), (8, False)]):
+        cell = AdaRedCell(8, up)
+        cvars = {"params": variables["params"][f"reg_fuse{idx+1}"]["cell"]}
+        carry = cell.init_carry(1, 16, 24)
+        s1 = torch.zeros(1, 8, 16, 24)
+        s2 = torch.zeros(1, 16, 8, 12)
+        red = tm.DepthNet[idx].reg_fuse
+        for d in range(3):
+            cost = rng.randn(1, 16, 24, c).astype(np.float32)
+            with torch.no_grad():
+                ref, s1, s2 = red.forward_slice(
+                    torch.tensor(cost.transpose(0, 3, 1, 2)), s1, s2)
+            carry, out = cell.apply(cvars, carry, jnp.asarray(cost))
+            np.testing.assert_allclose(
+                np.asarray(out).transpose(0, 3, 1, 2), ref.numpy(),
+                rtol=1e-4, atol=1e-4,
+                err_msg=f"stage{idx+1} slice {d}",
+            )
