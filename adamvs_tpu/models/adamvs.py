@@ -51,7 +51,7 @@ from ..ops.sampling import uniform_depth_samples, window_min_and_interval
 from ..ops.warp import plane_sweep_warp
 from ..ops.warp_banded import plane_sweep_warp_banded
 from ..ops.warp_pallas import plane_sweep_warp_pallas
-from ..ops.warp_pallas2 import plane_sweep_warp_pallas2
+from ..ops.warp_pallas2 import merge_source, plane_sweep_warp_pallas2
 
 # reference up-flags by stage index (adamvs.py:340,562-565): stages 1 and 2
 # upsample their regularized cost 2x, stage 3 does not.
@@ -97,14 +97,7 @@ def get_warp_fn(impl: str, bands: tuple[int, int] = (32, 256)):
 
         return fn
     if impl in ("pallas2", "pallas2bf16"):
-        # merged-lane kernel: band knobs are spans (padded to pow2/128-lane
-        # inside the kernel), not v1-style padded slice sizes — scale the
-        # shared config knob 2:1 so a user-enlarged band (wide-baseline
-        # geometry) enlarges the kernel band proportionally instead of being
-        # silently clamped to the defaults
-        rb, cb = bands
-        rb = max(16, rb // 2)
-        cb = max(112, cb * 112 // 256)  # default (32,256) -> tuned (16,112)
+        rb, cb = _pallas2_bands(bands)
         mm_dtype = jnp.bfloat16 if impl == "pallas2bf16" else None
 
         def fn(src_feat, src_proj, ref_proj, depth, grid_hw=None):
@@ -115,6 +108,35 @@ def get_warp_fn(impl: str, bands: tuple[int, int] = (32, 256)):
 
         return fn
     raise ValueError(f"unknown warp_impl {impl!r}")
+
+
+def _pallas2_bands(bands: tuple[int, int]) -> tuple[int, int]:
+    """Merged-lane kernel band knobs are spans (padded to pow2/128-lane
+    inside the kernel), not v1-style padded slice sizes — scale the shared
+    config knob 2:1 so a user-enlarged band (wide-baseline geometry) enlarges
+    the kernel band proportionally instead of being silently clamped."""
+    rb, cb = bands
+    return max(16, rb // 2), max(112, cb * 112 // 256)  # (32,256) -> (16,112)
+
+
+def prepare_warp_sources(impl: str, bands, src_feats, dtype=None):
+    """Hoist the pallas2 merged-lane source transform out of the depth scan:
+    returns a tuple of ``MergedSource`` (one per view) for the pallas2 impls,
+    or ``src_feats`` unchanged. ~21% of forward device time at bench shapes
+    was this transform re-executed every scan step (tools/trace_attrib.py)."""
+    if impl not in ("pallas2", "pallas2bf16"):
+        return src_feats
+    rb, cb = _pallas2_bands(bands)
+    mm_dtype = jnp.bfloat16 if impl == "pallas2bf16" else None
+    n = len(src_feats) if isinstance(src_feats, (tuple, list)) else src_feats.shape[0]
+    return tuple(
+        merge_source(src_feats[v], row_band=rb, col_band=cb, mm_dtype=mm_dtype)
+        for v in range(n)
+    )
+
+
+def _num_src(src_feats) -> int:
+    return len(src_feats) if isinstance(src_feats, (tuple, list)) else src_feats.shape[0]
 
 
 def correlation_volume(
@@ -162,7 +184,7 @@ class _AdaFuseStreamCell(nn.Module):
         depth_arg = hyp[:, None]  # [B,1,h,w]
 
         warp_fn = get_warp_fn(self.warp_impl, self.warp_bands)
-        num_src = src_feats.shape[0]
+        num_src = _num_src(src_feats)
         wsum = jnp.float32(1e-5)
         vsum = jnp.float32(0.0)
         for v in range(num_src):
@@ -203,7 +225,7 @@ def _depth_sharded_fuse(
         hyp = lo[:, None] + d_blk[None, :, None, None] * step[:, None]  # [B,Dk,h,w]
         wsum = jnp.float32(1e-5)
         vsum = jnp.float32(0.0)
-        for v in range(src_feats.shape[0]):
+        for v in range(_num_src(src_feats)):
             warped = warp_fn(src_feats[v], src_projs[v], ref_proj, hyp)  # [B,Dk,h,w,C]
             w_v = weights[..., v : v + 1][:, None]  # [B,1,h,w,1]
             vsum = vsum + (ref_feat[:, None] * warped) * w_v
@@ -340,6 +362,10 @@ class AdaMVS(nn.Module):
             ref_proj, src_projs = projs[:, 0], projs[:, 1:]
             src_projs = jnp.moveaxis(src_projs, 1, 0)  # [V-1,B,4,4]
             h, w = ref_feat.shape[1:3]
+            # pallas2: hoist the merged-lane source transform out of the scan
+            src_feats_w = prepare_warp_sources(
+                self.warp_impl, self.warp_bands, src_feats, self.dtype
+            )
 
             pair_results: tuple = ()
             if si == 0:
@@ -351,7 +377,7 @@ class AdaMVS(nn.Module):
                 for v in range(V - 1):
                     with jax.named_scope(f"stage1_pairmatch_v{v}"):
                         corr = correlation_volume(
-                            ref_feat, src_feats[v], src_projs[v], ref_proj, hyp0,
+                            ref_feat, src_feats_w[v], src_projs[v], ref_proj, hyp0,
                             self.warp_block, warp_fn,
                         )
                         prob = jax.nn.softmax(reg2d(corr, train), axis=-1)  # [B,h,w,D]
@@ -377,7 +403,7 @@ class AdaMVS(nn.Module):
                 fused_all, hyp_acc_all = _depth_sharded_fuse(
                     self.depth_mesh, self.depth_axis,
                     get_warp_fn(self.warp_impl, self.warp_bands),
-                    ref_feat, src_feats, src_projs, ref_proj, weights, lo, step,
+                    ref_feat, src_feats_w, src_projs, ref_proj, weights, lo, step,
                     D, up,
                 )
                 cell = scan_reg(
@@ -393,7 +419,7 @@ class AdaMVS(nn.Module):
                 d_idx = jnp.arange(D, dtype=jnp.float32)
                 with jax.named_scope(f"{key}_sweep"):
                     (red_carry, acc), _ = cell(
-                        (red_carry, acc), d_idx, ref_feat, src_feats, src_projs, ref_proj, weights, lo, step
+                        (red_carry, acc), d_idx, ref_feat, src_feats_w, src_projs, ref_proj, weights, lo, step
                     )
             depth, conf = online_softmax_finalize(acc)
 

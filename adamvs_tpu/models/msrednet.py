@@ -53,7 +53,7 @@ from ..ops.regression import (
 )
 from ..ops.sampling import window_min_and_interval
 from ..ops.warp import plane_sweep_warp
-from .adamvs import get_warp_fn, parse_depth_values
+from .adamvs import _num_src, get_warp_fn, parse_depth_values, prepare_warp_sources
 
 
 class _RedStreamCell(nn.Module):
@@ -72,7 +72,7 @@ class _RedStreamCell(nn.Module):
         depth_arg = hyp[:, None]
 
         warp_fn = get_warp_fn(self.warp_impl, self.warp_bands)
-        num_src = src_feats.shape[0]
+        num_src = _num_src(src_feats)
         num_views = num_src + 1
         s = ref_feat
         sq = ref_feat * ref_feat
@@ -166,6 +166,10 @@ class MSREDNet(nn.Module):
             ref_proj, src_projs = projs[:, 0], projs[:, 1:]
             src_projs = jnp.moveaxis(src_projs, 1, 0)
             h, w = ref_feat.shape[1:3]
+            # pallas2: hoist the merged-lane source transform out of the scan
+            src_feats_w = prepare_warp_sources(
+                self.warp_impl, self.warp_bands, src_feats, self.dtype
+            )
 
             step_interval = (self.depth_intervals_ratio[si] * interval)[:, None, None]
             if prev_depth is None:
@@ -188,7 +192,7 @@ class MSREDNet(nn.Module):
             d_idx = jnp.arange(D, dtype=jnp.float32)
             with jax.named_scope(f"{key}_sweep"):
                 (red_carry, acc), _ = cell(
-                    (red_carry, acc), d_idx, ref_feat, src_feats, src_projs, ref_proj, lo, step
+                    (red_carry, acc), d_idx, ref_feat, src_feats_w, src_projs, ref_proj, lo, step
                 )
             depth, conf = online_softmax_finalize(acc)
             outputs[key] = {"depth": depth, "photometric_confidence": conf}

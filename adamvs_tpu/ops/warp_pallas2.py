@@ -49,11 +49,61 @@ def _next_pow2(x: int) -> int:
     return p
 
 
+class MergedSource:
+    """A source feature map pre-transformed to the kernel's merged-lane
+    layout ``[B, Wp, Hp*C]``. The transform (pad + transpose + reshape +
+    optional bf16 cast) is loop-invariant across depth hypotheses, but when
+    done inside the sweep scan XLA re-executes it every slice (~21% of
+    forward device time at bench shapes); pre-merging once per stage hoists
+    it. Construct via ``merge_source``."""
+
+    def __init__(self, data, h: int, w: int, c: int, out_dtype=jnp.float32):
+        self.data = data  # [B, Wp, Hp*C]
+        self.h = h
+        self.w = w
+        self.c = c
+        self.out_dtype = out_dtype  # dtype of the original (pre-cast) source
+
+    def tree_flatten(self):
+        return (self.data,), (self.h, self.w, self.c, self.out_dtype)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], *aux)
+
+
+jax.tree_util.register_pytree_node(
+    MergedSource, MergedSource.tree_flatten, MergedSource.tree_unflatten
+)
+
+
+def merge_source(feat: jnp.ndarray, row_band: int = 16, col_band: int = 112,
+                 mm_dtype=None) -> MergedSource:
+    """Pad + merge a [B,H,W,C] source to the kernel layout once (see
+    ``MergedSource``). ``row_band``/``col_band`` must be >= the values later
+    passed to the sampler (padding covers any aligned band)."""
+    B, H, W, C = feat.shape
+    out_dtype = feat.dtype
+    if mm_dtype is not None and feat.dtype != mm_dtype:
+        feat = feat.astype(mm_dtype)
+    if 128 % C != 0:
+        return MergedSource(feat, H, W, C, out_dtype)  # fallback keeps NHWC
+    Lv = 128 // C
+    RB = min(_next_pow2(row_band + Lv), _next_pow2(H))
+    cb = -(-(col_band + 8) // 128) * 128
+    Hp = max(-(-H // Lv) * Lv, RB)
+    Wp = max(-(-W // 8) * 8, cb)
+    if Hp != H or Wp != W:
+        feat = jnp.pad(feat, ((0, 0), (0, Hp - H), (0, Wp - W), (0, 0)))
+    feat_m = jnp.transpose(feat, (0, 2, 1, 3)).reshape(B, Wp, Hp * C)
+    return MergedSource(feat_m, H, W, C, out_dtype)
+
+
 def _sample_kernel2(
-    vrow_ref,  # scalar-prefetch [Tp] band row origin (Lv-aligned)
-    umin_ref,  # scalar-prefetch [Tp] band col origin (8-aligned)
-    img_ref,  # scalar-prefetch [Tp] image index per tile
-    uu_ref,  # [1, KT, P] VMEM
+    vrow_ref,  # scalar-prefetch [T] band row origin (Lv-aligned)
+    umin_ref,  # scalar-prefetch [T] band col origin (8-aligned)
+    img_ref,  # scalar-prefetch [T] image index per tile
+    uu_ref,  # [1, KT, P] VMEM (host-folded coords; small, cheap to fold)
     vv_ref,  # [1, KT, P] VMEM
     feat_ref,  # [B, Wp, Hp*C] merged-lane source, HBM
     out_ref,  # [1, KT*P, C] VMEM
@@ -138,74 +188,97 @@ def banded_bilinear_sample_pallas2(
     mm_dtype=None,
 ) -> jnp.ndarray:
     """``mm_dtype=jnp.bfloat16`` runs the band DMA + hat matmul in bf16
-    (halved HBM traffic, 2x MXU rate) with f32 accumulation and f32 output;
-    only the sampled feature values and hat weights are quantized — sample
-    coordinates stay f32, so the error is ~2^-8 relative on feature values."""
-    out_dtype = feat.dtype
-    if mm_dtype is not None and feat.dtype != mm_dtype:
-        feat = feat.astype(mm_dtype)
-    B, H, W, C = feat.shape
-    if 128 % C != 0:
-        # merged-lane alignment needs C | 128; rare in practice (features are
-        # 8/16/32ch) — fall back to the XLA banded path
-        return banded_bilinear_sample(
-            feat, u, v, tile_h=tile_h, tile_w=max(tile_w, 128),
-            row_band=max(row_band, 32), col_band=max(col_band, 256),
-        ).astype(out_dtype)
-    N = u.shape[1]
-    h, w = u.shape[2], u.shape[3]
-    Lv = 128 // C
-    RB = min(_next_pow2(row_band + Lv), _next_pow2(H))
-    cb = -(-(col_band + 8) // 128) * 128
+    (halved HBM traffic) with f32 accumulation and f32 output; only the
+    sampled feature values and hat weights are quantized — sample coordinates
+    stay f32. (The nominal-f32 matmul already feeds the MXU bf16 inputs under
+    JAX's default dot precision, so results are identical; the win is DMA.)
 
-    # pad source so any aligned band fits: H to Lv multiples (lane alignment),
-    # W to 8 (sublane alignment), both to at least the band size. Padded
-    # texels are zero == zeros-padding for samples past the true border.
-    Hp = max(-(-H // Lv) * Lv, RB)
-    Wp = max(-(-W // 8) * 8, cb)
-    if Hp != H or Wp != W:
-        feat = jnp.pad(feat, ((0, 0), (0, Hp - H), (0, Wp - W), (0, 0)))
-    feat_m = jnp.transpose(feat, (0, 2, 1, 3)).reshape(B, Wp, Hp * C)
+    ``feat`` may be a ``MergedSource`` (pre-transformed once per stage — see
+    ``merge_source``) or a raw [B,H,W,C] array merged here per call."""
+    if isinstance(feat, MergedSource):
+        out_dtype = feat.out_dtype
+        H, W, C = feat.h, feat.w, feat.c
+        if 128 % C != 0:
+            return banded_bilinear_sample(
+                feat.data, u, v, tile_h=tile_h, tile_w=max(tile_w, 128),
+                row_band=max(row_band, 32), col_band=max(col_band, 256),
+            ).astype(out_dtype)
+        feat_m = feat.data
+        B, Wp = feat_m.shape[0], feat_m.shape[1]
+        Hp = feat_m.shape[2] // C
+        Lv = 128 // C
+        RB = min(_next_pow2(row_band + Lv), _next_pow2(H))
+        cb = -(-(col_band + 8) // 128) * 128
+        if Hp < RB or Wp < cb:
+            raise ValueError(
+                f"MergedSource padded to ({Hp},{Wp}) but bands need >= ({RB},{cb});"
+                " merge_source must be called with bands >= the sampler's"
+            )
+        N = u.shape[1]
+        h, w = u.shape[2], u.shape[3]
+    else:
+        out_dtype = feat.dtype
+        if mm_dtype is not None and feat.dtype != mm_dtype:
+            feat = feat.astype(mm_dtype)
+        B, H, W, C = feat.shape
+        if 128 % C != 0:
+            # merged-lane alignment needs C | 128; rare in practice (features
+            # are 8/16/32ch) — fall back to the XLA banded path
+            return banded_bilinear_sample(
+                feat, u, v, tile_h=tile_h, tile_w=max(tile_w, 128),
+                row_band=max(row_band, 32), col_band=max(col_band, 256),
+            ).astype(out_dtype)
+        N = u.shape[1]
+        h, w = u.shape[2], u.shape[3]
+        Lv = 128 // C
+        RB = min(_next_pow2(row_band + Lv), _next_pow2(H))
+        cb = -(-(col_band + 8) // 128) * 128
 
+        # pad source so any aligned band fits: H to Lv multiples (lane
+        # alignment), W to 8 (sublane alignment), both to at least the band
+        # size. Padded texels are zero == zeros-padding past the true border.
+        Hp = max(-(-H // Lv) * Lv, RB)
+        Wp = max(-(-W // 8) * 8, cb)
+        if Hp != H or Wp != W:
+            feat = jnp.pad(feat, ((0, 0), (0, Hp - H), (0, Wp - W), (0, 0)))
+        feat_m = jnp.transpose(feat, (0, 2, 1, 3)).reshape(B, Wp, Hp * C)
+
+    # image-layout tiling: pad (h, w) so rows split into tile_h bands and
+    # cols into groups of KT tiles — every host-side fold/unfold below is a
+    # pure RESHAPE (splitting/merging adjacent dims), never a transpose. The
+    # old [T, P] flat-tile layout transposed u, v, AND the output through HBM
+    # every call (~0.8 s/forward at bench shapes, tools/trace_attrib.py).
+    KT = max(1, kt)
     ph = (-h) % tile_h
-    pw = (-w) % tile_w
+    pw = (-w) % (KT * tile_w)
     if ph or pw:
+        # out-of-image coords sample to zero; padded rows/cols cropped below
         u = jnp.pad(u, ((0, 0), (0, 0), (0, ph), (0, pw)), constant_values=-1e9)
         v = jnp.pad(v, ((0, 0), (0, 0), (0, ph), (0, pw)), constant_values=-1e9)
     hp, wp = h + ph, w + pw
     nty, ntx = hp // tile_h, wp // tile_w
     P = tile_h * tile_w
-    tiles_per_im = nty * ntx
-    T = B * N * tiles_per_im
+    gx = ntx // KT
+    G = B * N * nty * gx  # grid steps; step g covers KT x-adjacent tiles
+    T = G * KT
 
-    def fold(x):
-        x = x.reshape(B * N, nty, tile_h, ntx, tile_w)
-        return x.transpose(0, 1, 3, 2, 4).reshape(T, P)
-
-    uu = fold(u)
-    vv = fold(v)
     big = 1e9
-    safe_u = jnp.where(jnp.abs(uu) < big, uu, big)
-    safe_v = jnp.where(jnp.abs(vv) < big, vv, big)
-    umin = jnp.clip(jnp.floor(jnp.min(safe_u, axis=-1)), 0, Wp - cb).astype(jnp.int32)
-    vmin = jnp.clip(jnp.floor(jnp.min(safe_v, axis=-1)), 0, Hp - RB).astype(jnp.int32)
-    umin = (umin // 8) * 8
-    vrow = (vmin // Lv) * Lv
-    img_idx = (jnp.arange(T, dtype=jnp.int32) // tiles_per_im) // N
+    u5 = u.reshape(B * N, nty, tile_h, ntx, tile_w)
+    v5 = v.reshape(B * N, nty, tile_h, ntx, tile_w)
 
-    # pad the tile list to a multiple of KT (dummy tiles: far-out coords
-    # sample to zero; their rows are cropped after unfold)
-    KT = max(1, kt)
-    G = -(-T // KT)
-    pad_t = G * KT - T
-    if pad_t:
-        uu = jnp.pad(uu, ((0, pad_t), (0, 0)), constant_values=-big)
-        vv = jnp.pad(vv, ((0, pad_t), (0, 0)), constant_values=-big)
-        umin = jnp.pad(umin, ((0, pad_t),))
-        vrow = jnp.pad(vrow, ((0, pad_t),))
-        img_idx = jnp.pad(img_idx, ((0, pad_t),))
-    uu_g = uu.reshape(G, KT, P)
-    vv_g = vv.reshape(G, KT, P)
+    def fold(x5):  # coords are small; this transpose is cheap
+        return x5.transpose(0, 1, 3, 2, 4).reshape(G, KT, P)
+
+    uu = fold(u5)
+    vv = fold(v5)
+    safe_u = jnp.where(jnp.abs(u5) < big, u5, big)
+    safe_v = jnp.where(jnp.abs(v5) < big, v5, big)
+    # per-tile minima: reduce over (tile_h, tile_w); flat order == tile id
+    umin = jnp.clip(jnp.floor(jnp.min(safe_u, axis=(2, 4))), 0, Wp - cb)
+    vmin = jnp.clip(jnp.floor(jnp.min(safe_v, axis=(2, 4))), 0, Hp - RB)
+    umin = ((umin.astype(jnp.int32) // 8) * 8).reshape(T)
+    vrow = ((vmin.astype(jnp.int32) // Lv) * Lv).reshape(T)
+    img_idx = (jnp.arange(T, dtype=jnp.int32) // (nty * ntx)) // N
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -217,7 +290,7 @@ def banded_bilinear_sample_pallas2(
         ],
         out_specs=pl.BlockSpec((1, KT * P, C), lambda i, *_: (i, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((2, KT, cb, RB * C), feat.dtype),
+            pltpu.VMEM((2, KT, cb, RB * C), feat_m.dtype),
             pltpu.SemaphoreType.DMA((2, KT)),
         ],
     )
@@ -228,13 +301,12 @@ def banded_bilinear_sample_pallas2(
         out_shape=jax.ShapeDtypeStruct((G, KT * P, C), out_dtype),
         cost_estimate=pl.CostEstimate(
             flops=G * KT * flops_per_tile,
-            bytes_accessed=G * KT * (cb * RB * C + P * C) * feat.dtype.itemsize,
+            bytes_accessed=G * KT * (cb * RB * C + P * C) * feat_m.dtype.itemsize,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(vrow, umin, img_idx, uu_g, vv_g, feat_m)
+    )(vrow, umin, img_idx, uu, vv, feat_m)
 
-    out = out.reshape(G * KT, P, C)[:T]
     out = out.reshape(B, N, nty, ntx, tile_h, tile_w, C)
     out = out.transpose(0, 1, 2, 4, 3, 5, 6).reshape(B, N, hp, wp, C)
     return out[:, :, :h, :w]
@@ -254,11 +326,14 @@ def plane_sweep_warp_pallas2(
     interpret: bool = False,
     mm_dtype=None,
 ) -> jnp.ndarray:
-    """Drop-in merged-lane variant of ``ops.warp.plane_sweep_warp``."""
+    """Drop-in merged-lane variant of ``ops.warp.plane_sweep_warp``.
+    ``src_feat`` may be a pre-transformed ``MergedSource``."""
     if depth.ndim == 4:
         H, W = depth.shape[2:4]
     elif grid_hw is not None:
         H, W = grid_hw
+    elif isinstance(src_feat, MergedSource):
+        H, W = src_feat.h, src_feat.w
     else:
         H, W = src_feat.shape[1:3]
     rot, trans = warp_transform(src_proj, ref_proj)

@@ -41,7 +41,13 @@ import numpy as np
 # amortize the (remote) TPU compile across runs
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
 
-REF_GPU_DEPTH_MAPS_PER_S = 0.1  # derivation in BASELINE.md
+# Derivation in BASELINE.md ("Throughput baseline derivation"): the modeled
+# reference-GPU rate spans 0.1 (V100-class, high eager overhead — the
+# conservative anchor, also round 1's constant, keeping the recorded series
+# comparable) to 0.65 maps/s (well-utilized RTX 3090 bound). Both are
+# reported: vs_baseline uses the anchor, vs_baseline_strict the upper bound.
+REF_GPU_DEPTH_MAPS_PER_S = 0.1
+REF_GPU_DEPTH_MAPS_PER_S_STRICT = 0.65
 
 
 def make_inputs(height, width, views, batch):
@@ -71,13 +77,13 @@ def make_inputs(height, width, views, batch):
 
 
 def run_bench(height, width, views, numdepth, iters, model_name, warmup=1,
-              warp_impl="gather", dtype=None, batch=1, bands=None):
+              warp_impl="gather", dtype=None, batch=1, bands=None, remat=True):
     import jax
     import jax.numpy as jnp
 
     from adamvs_tpu.models import build_model
 
-    kw = {"warp_impl": warp_impl}
+    kw = {"warp_impl": warp_impl, "use_remat": remat}
     if bands is not None:
         kw["warp_bands"] = tuple(bands)
     if dtype == "bf16":
@@ -189,6 +195,9 @@ def main():
                     help="row_band,col_band for banded/pallas warps (e.g. 16,128)")
     ap.add_argument("--selftest", action="store_true",
                     help="verify warp numerics on device and embed the report")
+    ap.add_argument("--remat", default="on", choices=["on", "off"],
+                    help="nn.remat around the sweep cells (identity math at "
+                         "eval; measures the flax-scan overhead it induces)")
     args = ap.parse_args()
 
     if args.small:
@@ -204,6 +213,7 @@ def main():
     sec_per_batch, flops, nbytes = run_bench(
         h, w, 5, nd, args.iters, args.model,
         warp_impl=args.warp_impl, dtype=args.dtype, batch=args.batch, bands=bands,
+        remat=args.remat == "on",
     )
     maps_per_s = args.batch / sec_per_batch
     result = {
@@ -211,8 +221,10 @@ def main():
         "value": round(maps_per_s, 5),
         "unit": "depth_maps/s/chip",
         "vs_baseline": round(maps_per_s / REF_GPU_DEPTH_MAPS_PER_S, 3),
+        "vs_baseline_strict": round(maps_per_s / REF_GPU_DEPTH_MAPS_PER_S_STRICT, 3),
         "config": {
             "warp_impl": args.warp_impl, "dtype": args.dtype, "batch": args.batch,
+            "remat": args.remat,
         },
     }
     if flops:

@@ -85,3 +85,28 @@ def test_pallas2_bf16_matmul_close():
     err = np.abs(np.asarray(out) - np.asarray(ref))
     assert float(err.max()) < 0.05, float(err.max())
     assert float(err.mean()) < 0.01, float(err.mean())
+
+
+def test_pallas2_merged_source_equals_raw():
+    """Pre-merged sources (merge_source — the scan-hoisted form) must sample
+    identically to per-call merging, for f32 and the bf16 matmul mode."""
+    from adamvs_tpu.ops.warp_pallas2 import merge_source
+
+    rng = np.random.RandomState(6)
+    H, W, C = 64, 128, 8
+    feat = jnp.asarray(rng.randn(1, H, W, C).astype(np.float32))
+    y, x = np.meshgrid(np.arange(48, dtype=np.float32), np.arange(96, dtype=np.float32), indexing="ij")
+    u = jnp.asarray((x + 7.3 + 0.02 * x)[None, None])
+    v = jnp.asarray((y + 3.1 + 0.01 * x)[None, None])
+    kw = dict(tile_h=8, tile_w=32, row_band=16, col_band=48, interpret=True)
+    raw = banded_bilinear_sample_pallas2(feat, u, v, **kw)
+    merged = merge_source(feat, row_band=16, col_band=48)
+    out = banded_bilinear_sample_pallas2(merged, u, v, **kw)
+    assert out.dtype == raw.dtype
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(raw))
+
+    raw_bf = banded_bilinear_sample_pallas2(feat, u, v, mm_dtype=jnp.bfloat16, **kw)
+    merged_bf = merge_source(feat, row_band=16, col_band=48, mm_dtype=jnp.bfloat16)
+    out_bf = banded_bilinear_sample_pallas2(merged_bf, u, v, **kw)
+    assert out_bf.dtype == jnp.float32
+    np.testing.assert_array_equal(np.asarray(out_bf), np.asarray(raw_bf))
