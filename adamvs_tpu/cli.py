@@ -44,6 +44,8 @@ def _add_model_flags(p: argparse.ArgumentParser):
     p.add_argument("--cr_base_chs", default="8,8,8")
     p.add_argument("--share_cr", action="store_true")
     p.add_argument("--warp_impl", default="gather", choices=["gather", "banded", "pallas", "pallas2", "pallas2bf16"])
+    p.add_argument("--sweep_impl", default="scan", choices=["scan", "fused", "fusedf32"],
+                   help="fused: one-Pallas-call plane sweep per stage (adamvs predict path)")
     p.add_argument("--compute_dtype", default="f32", choices=["f32", "bf16"])
     p.add_argument("--distributed", action="store_true",
                    help="initialize the multi-host JAX runtime (parallel/distributed.py)")
@@ -57,6 +59,7 @@ def _model_config(args) -> ModelConfig:
         cr_base_chs=parse_int_list(args.cr_base_chs),
         share_cr=args.share_cr,
         warp_impl=args.warp_impl,
+        sweep_impl=args.sweep_impl,
         dtype=args.compute_dtype,
     )
 

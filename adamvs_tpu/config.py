@@ -34,6 +34,9 @@ class ModelConfig:
     share_cr: bool = False
     base_channels: int = 8
     warp_impl: str = "gather"  # gather | banded | pallas | pallas2 | pallas2bf16
+    # scan: per-depth warp inside the recurrent scan; fused/fusedf32: one
+    # Pallas plane-sweep call per stage (adamvs only; ops/sweep_fuse.py)
+    sweep_impl: str = "scan"
     dtype: str = "f32"  # f32 | bf16
 
     def build(self, **overrides):
@@ -48,6 +51,8 @@ class ModelConfig:
             base=self.base_channels,
             warp_impl=self.warp_impl,
         )
+        if self.model == "adamvs":
+            kwargs["sweep_impl"] = self.sweep_impl
         if self.dtype == "bf16":
             kwargs["dtype"] = jnp.bfloat16
         if self.model == "msrednet":

@@ -48,6 +48,7 @@ from ..ops.regression import (
     resize_bilinear,
 )
 from ..ops.sampling import uniform_depth_samples, window_min_and_interval
+from ..ops.sweep_fuse import corr_sweep_volume, fused_sweep_volume, merge_sources
 from ..ops.warp import plane_sweep_warp
 from ..ops.warp_banded import plane_sweep_warp_banded
 from ..ops.warp_pallas import plane_sweep_warp_pallas
@@ -266,6 +267,28 @@ class _AdaRegStreamCell(nn.Module):
         return (red_carry, acc), jnp.float32(0.0)
 
 
+class _AdaRegIdxStreamCell(nn.Module):
+    """Scan cell over precomputed fused slices with the hypothesis map built
+    in-cell from (lo, step, d) — the one-call fused-sweep path
+    (ops/sweep_fuse.py). Same parameter tree as ``_AdaFuseStreamCell``."""
+
+    base: int
+    up: bool
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, carry, fused, d, lo, step):
+        red_carry, acc = carry
+        red_carry, cost = AdaRedCell(self.base, self.up, dtype=self.dtype, name="cell")(
+            red_carry, fused
+        )
+        hyp = lo + d * step  # [B,h,w]
+        if self.up:
+            hyp = resize_bilinear(hyp, hyp.shape[1] * 2, hyp.shape[2] * 2)
+        acc = online_softmax_update(acc, cost[..., 0], hyp)
+        return (red_carry, acc), jnp.float32(0.0)
+
+
 class AdaMVS(nn.Module):
     """Cascade orchestrator (reference AdaMVSNet adamvs.py:316-396 and
     Infer_AdaMVSNet adamvs.py:537-620 unified).
@@ -291,6 +314,13 @@ class AdaMVS(nn.Module):
     dtype: Any = None
     depth_mesh: Any = None  # jax.sharding.Mesh with ``depth_axis`` in it
     depth_axis: str = "depth"
+    # "scan": per-depth warp inside the recurrent scan (exact reference
+    # streaming). "fused"/"fusedf32": the whole visibility-weighted volume in
+    # one Pallas call per stage (ops/sweep_fuse.py; bands in bf16 or f32),
+    # then the recurrent regularizer scans the precomputed slices.
+    sweep_impl: str = "scan"
+    fuse_bands: tuple[int, int] = (12, 128)
+    fuse_d_chunk: int = 16
 
     def feature_module(self) -> nn.Module:
         """Standalone feature net matching the 'feature' submodule — apply it
@@ -345,6 +375,22 @@ class AdaMVS(nn.Module):
             in_axes=(0, 0),
             out_axes=0,
         )
+        idx_cls = nn.remat(_AdaRegIdxStreamCell) if self.use_remat else _AdaRegIdxStreamCell
+        scan_idx = nn.scan(
+            idx_cls,
+            variable_broadcast="params",
+            split_rngs={"params": False},
+            in_axes=(0, 0, nn.broadcast, nn.broadcast),
+            out_axes=0,
+        )
+        # fused sweep is inference-only: the Pallas kernels define no VJP, so
+        # gradient passes (train=True) keep the exact in-scan warp path
+        use_fused = (
+            self.sweep_impl in ("fused", "fusedf32")
+            and self.depth_mesh is None
+            and not train
+        )
+        fuse_mm = jnp.float32 if self.sweep_impl == "fusedf32" else jnp.bfloat16
 
         outputs: dict[str, Any] = {}
         prev_depth = None
@@ -363,33 +409,54 @@ class AdaMVS(nn.Module):
             src_projs = jnp.moveaxis(src_projs, 1, 0)  # [V-1,B,4,4]
             h, w = ref_feat.shape[1:3]
             # pallas2: hoist the merged-lane source transform out of the scan
-            src_feats_w = prepare_warp_sources(
+            src_feats_w = src_feats if use_fused else prepare_warp_sources(
                 self.warp_impl, self.warp_bands, src_feats, self.dtype
             )
+            srcs_m = None
+            if use_fused:
+                src_arr = (
+                    src_feats
+                    if isinstance(src_feats, jnp.ndarray)
+                    else jnp.stack(list(src_feats))
+                )
+                srcs_m = merge_sources(
+                    src_arr, row_band=self.fuse_bands[0],
+                    col_band=self.fuse_bands[1], mm_dtype=fuse_mm,
+                )
 
             pair_results: tuple = ()
             if si == 0:
                 # stage-1 per-view matching -> visibility weights
+                lo = jnp.broadcast_to(dmin[:, None, None], (B, h, w))
+                step = jnp.broadcast_to(
+                    ((dmax - dmin) / (D - 1))[:, None, None], (B, h, w)
+                )
                 hyp0 = uniform_depth_samples(jnp.stack([dmin, dmax], axis=1), D)  # [B,D]
                 reg2d = CostRegNet2D(D, dtype=self.dtype, name="reg2d")
+                if use_fused:
+                    with jax.named_scope("stage1_pairmatch_corr"):
+                        corr_all = corr_sweep_volume(
+                            ref_feat, srcs_m, src_projs, ref_proj, lo, step,
+                            num_depth=D, d_chunk=self.fuse_d_chunk,
+                        )  # [V-1,B,h,w,D]
+                else:
+                    warp_fn = get_warp_fn(self.warp_impl, self.warp_bands)
                 confs, pds = [], []
-                warp_fn = get_warp_fn(self.warp_impl, self.warp_bands)
                 for v in range(V - 1):
                     with jax.named_scope(f"stage1_pairmatch_v{v}"):
-                        corr = correlation_volume(
-                            ref_feat, src_feats_w[v], src_projs[v], ref_proj, hyp0,
-                            self.warp_block, warp_fn,
-                        )
+                        if use_fused:
+                            corr = corr_all[v]
+                        else:
+                            corr = correlation_volume(
+                                ref_feat, src_feats_w[v], src_projs[v], ref_proj,
+                                hyp0, self.warp_block, warp_fn,
+                            )
                         prob = jax.nn.softmax(reg2d(corr, train), axis=-1)  # [B,h,w,D]
                     confs.append(jnp.max(prob, axis=-1))
                     pds.append(jnp.sum(prob * hyp0[:, None, None, :], axis=-1))
                 pair_conf = jnp.stack(confs, axis=-1)  # [B,h,w,V-1]
                 pair_results = tuple(pds)
                 weights = pair_conf
-                lo = jnp.broadcast_to(dmin[:, None, None], (B, h, w))
-                step = jnp.broadcast_to(
-                    ((dmax - dmin) / (D - 1))[:, None, None], (B, h, w)
-                )
             else:
                 weights = jax.image.resize(pair_conf, (B, h, w, V - 1), method="linear")
                 step_interval = (self.depth_intervals_ratio[si] * interval)[:, None, None]
@@ -399,7 +466,22 @@ class AdaMVS(nn.Module):
             out_h, out_w = (2 * h, 2 * w) if up else (h, w)
             red_carry = AdaRedCell(self.cr_base[si], up).init_carry(B, h, w)
             acc = online_softmax_init((B, out_h, out_w))
-            if self.depth_mesh is not None:
+            if use_fused:
+                with jax.named_scope(f"{key}_sweep_fusedvol"):
+                    fused_all = fused_sweep_volume(
+                        ref_feat, srcs_m, src_projs, ref_proj, weights, lo, step,
+                        num_depth=D, d_chunk=self.fuse_d_chunk,
+                        out_dtype=self.dtype or jnp.float32,
+                    )  # [D,B,h,w,C]
+                cell = scan_idx(
+                    self.cr_base[si], up, dtype=self.dtype, name=f"reg_fuse{si + 1}"
+                )
+                d_idx = jnp.arange(D, dtype=jnp.float32)
+                with jax.named_scope(f"{key}_sweep_fusedreg"):
+                    (red_carry, acc), _ = cell(
+                        (red_carry, acc), fused_all, d_idx, lo, step
+                    )
+            elif self.depth_mesh is not None:
                 fused_all, hyp_acc_all = _depth_sharded_fuse(
                     self.depth_mesh, self.depth_axis,
                     get_warp_fn(self.warp_impl, self.warp_bands),

@@ -175,6 +175,16 @@ def _fold_tiles(x: jnp.ndarray, tile_h: int, tile_w: int, fill=0.0):
     return x.reshape((B * nty * ntx, tile_h * tile_w) + trail)
 
 
+def _fold_tiles_t(x: jnp.ndarray, tile_h: int, tile_w: int, fill=0.0):
+    """[B, h, w, K] -> [B*T, K, P]: channels on sublanes, pixels on lanes.
+
+    The whole kernel runs in this transposed orientation so every HBM
+    array's trailing dim is P (a 128 multiple) — a [.., P, C] layout would be
+    lane-padded C -> 128 by the (8,128) tiling, inflating HBM size and
+    bandwidth up to 16x for C=8."""
+    return jnp.swapaxes(_fold_tiles(x, tile_h, tile_w, fill), 1, 2)
+
+
 def _sweep_kernel(
     # scalar prefetch, then VMEM inputs (mode-dependent), HBM feat, out, scratch
     umin_ref, vrow_ref, geom_ref,
@@ -185,146 +195,158 @@ def _sweep_kernel(
     mode: str,  # "fused" | "corr"
     mm_dtype,
 ):
+    """Depth loop is a ``fori_loop`` with the per-hypothesis slice written
+    through a dynamic leading out index — a python-unrolled Dc x Vs body keeps
+    every iteration's [P,L] intermediates live and blows Mosaic's 16M scoped
+    vmem stack at stage-1 widths (measured 21.9M at Dc=16, Vs=4, C=32)."""
     if mode == "fused":
-        lo_ref, step_ref, ref_ref, w_ref, feat_ref, out_ref, band_ref, acc_ref, sem = refs
+        ls_ref, ref_ref, w_ref, feat_ref, out_ref, band_ref, sem = refs
+        KV = Vs  # bands resident per grid step
     else:
-        lo_ref, step_ref, ref_ref, feat_ref, out_ref, band_ref, sem = refs
-        w_ref = acc_ref = None
+        ls_ref, ref_ref, feat_ref, out_ref, band_ref, sem = refs
+        w_ref = None
+        KV = 1
     g = pl.program_id(0)
+    G = pl.num_programs(0)
     L = RB * C
     P = tile_h * tile_w
 
     # grid decode; in corr mode the leading grid axis is the view
-    if mode == "corr":
-        t = jax.lax.rem(g, T)
-        r = jax.lax.div(g, T)
-        c = jax.lax.rem(r, NC)
-        r = jax.lax.div(r, NC)
-        b = jax.lax.rem(r, B)
-        SEQ = 1  # one band per grid step
-    else:
-        t = jax.lax.rem(g, T)
-        r = jax.lax.div(g, T)
-        c = jax.lax.rem(r, NC)
-        b = jax.lax.div(r, NC)
-        SEQ = Vs
+    t = jax.lax.rem(g, T)
+    r = jax.lax.div(g, T)
+    c = jax.lax.rem(r, NC)
+    r = jax.lax.div(r, NC)
+    b = jax.lax.rem(r, B) if mode == "corr" else r
     tx = jax.lax.rem(t, ntx)
     ty = jax.lax.div(t, ntx)
 
-    nseq = pl.num_programs(0) * SEQ
-
-    def dma(s, slot):
+    def dma(gs, v, slot):
+        s = gs * KV + v
         um = pl.multiple_of(umin_ref[s], 8)
         vlane = pl.multiple_of(vrow_ref[s] * C, 128)
         if mode == "corr":
-            gs = s
-            v_s = jax.lax.div(jax.lax.div(gs, T), NC * B)
+            v_s = jax.lax.div(gs, T * NC * B)
             b_s = jax.lax.rem(jax.lax.div(gs, T * NC), B)
         else:
-            v_s = jax.lax.rem(s, Vs)
-            b_s = jax.lax.div(s, Vs * NC * T)
+            v_s = v
+            b_s = jax.lax.div(gs, NC * T)
         return pltpu.make_async_copy(
             feat_ref.at[v_s, b_s, pl.ds(um, cb), pl.ds(vlane, L)],
-            band_ref.at[slot],
-            sem.at[slot],
+            band_ref.at[slot, v],
+            sem.at[slot, v],
         )
+
+    buf = jax.lax.rem(g, 2)
+    nxt = jax.lax.rem(g + 1, 2)
 
     @pl.when(g == 0)
     def _():
-        dma(0, 0).start()
+        for v in range(KV):
+            dma(g, v, buf).start()
 
-    # constant index fields
-    x_idx = jax.lax.broadcasted_iota(jnp.int32, (P, cb), 1).astype(jnp.float32)
-    r_ids = (jax.lax.broadcasted_iota(jnp.int32, (P, L), 1) // C).astype(jnp.float32)
+    @pl.when(g + 1 < G)
+    def _():
+        for v in range(KV):
+            dma(g + 1, v, nxt).start()
+
+    # constant index fields (transposed orientation: pixels on LANES)
+    x_idx = jax.lax.broadcasted_iota(jnp.int32, (cb, 1), 0).astype(jnp.float32)
+    r_ids = (jax.lax.broadcasted_iota(jnp.int32, (L, 1), 0) // C).astype(jnp.float32)
     # group-summation matrix S[(r,c'),c] = [c'==c] — vertical combine as MXU
     lane_c = jax.lax.broadcasted_iota(jnp.int32, (L, C), 0) % C
     col_c = jax.lax.broadcasted_iota(jnp.int32, (L, C), 1)
     S = (lane_c == col_c).astype(mm_dtype)
 
-    # per-pixel reference coordinates of this tile
-    pix = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0)
+    # per-pixel reference coordinates of this tile, [1, P] rows
+    pix = jax.lax.broadcasted_iota(jnp.int32, (1, P), 1)
     X = (tx * tile_w + jax.lax.rem(pix, tile_w)).astype(jnp.float32)
     Y = (ty * tile_h + jax.lax.div(pix, tile_w)).astype(jnp.float32)
-    lo = lo_ref[0][:, None]
-    st = step_ref[0][:, None]
-    refv = ref_ref[0]  # [P, C] f32
+    ls = ls_ref[0]  # [2, P] f32: lo, step packed
+    lo = ls[0:1, :]
+    st = ls[1:2, :]
+    refv = ref_ref[0]  # [C, P] f32
+    # corr: mean_C(ref ⊙ samp) == colsum(sarr ⊙ (S @ ref))/C — the channel-
+    # expanded reference is one MXU matmul, then no per-d S matmul
+    ref_exp = (
+        jax.lax.dot_general(
+            S, refv.astype(mm_dtype), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        if mode == "corr"
+        else None
+    )  # [L,P]
 
-    d0 = (c * Dc).astype(jnp.float32) if hasattr(c, "astype") else float(c * Dc)
+    d0 = c.astype(jnp.float32) * Dc
 
-    corr_cols = []
-    for v in range(Vs):
-        s = g * SEQ + v
-        nxt = s + 1
-
-        @pl.when(nxt < nseq)
-        def _():
-            dma(nxt, jax.lax.rem(nxt, 2)).start()
-
+    # per-view geometry rows + band origins (tiny [1,P] fields, precomputed)
+    geo = []
+    for v in range(KV):
+        s = g * KV + v
         if mode == "corr":
-            rv = jax.lax.div(jax.lax.div(g, T), NC * B) * B + b
+            rv = jax.lax.div(g, T * NC * B) * B + b
         else:
             rv = v * B + b
-        r00 = geom_ref[rv, 0]
-        r01 = geom_ref[rv, 1]
-        r02 = geom_ref[rv, 2]
-        r10 = geom_ref[rv, 3]
-        r11 = geom_ref[rv, 4]
-        r12 = geom_ref[rv, 5]
-        r20 = geom_ref[rv, 6]
-        r21 = geom_ref[rv, 7]
-        r22 = geom_ref[rv, 8]
-        t0 = geom_ref[rv, 9]
-        t1 = geom_ref[rv, 10]
-        t2 = geom_ref[rv, 11]
-        rx = r00 * X + r01 * Y + r02  # [P,1]
-        ry = r10 * X + r11 * Y + r12
-        rz = r20 * X + r21 * Y + r22
-
+        rx = geom_ref[rv, 0] * X + geom_ref[rv, 1] * Y + geom_ref[rv, 2]
+        ry = geom_ref[rv, 3] * X + geom_ref[rv, 4] * Y + geom_ref[rv, 5]
+        rz = geom_ref[rv, 6] * X + geom_ref[rv, 7] * Y + geom_ref[rv, 8]
+        tr = (geom_ref[rv, 9], geom_ref[rv, 10], geom_ref[rv, 11])
         um_f = umin_ref[s].astype(jnp.float32)
         vr_f = vrow_ref[s].astype(jnp.float32)
-        if mode == "fused":
-            wv = w_ref[0][:, v][:, None]  # [P,1]
+        wv = w_ref[0][v : v + 1, :] if mode == "fused" else None  # [1,P]
+        geo.append((rx, ry, rz, tr, um_f, vr_f, wv))
+        dma(g, v, buf).wait()
 
-        dma(s, jax.lax.rem(s, 2)).wait()
-        band = band_ref[jax.lax.rem(s, 2)]  # [cb, L]
+    def sample_one(v, hyp):
+        """-> sarr [L, P]: per-pixel vertical-group samples at ``hyp`` [1,P]."""
+        rx, ry, rz, (t0, t1, t2), um_f, vr_f, _ = geo[v]
+        band = band_ref[buf, v]  # [cb, L]
+        px = rx * hyp + t0
+        py = ry * hyp + t1
+        pz = rz * hyp + t2
+        safe = pz > 1e-6
+        inv = 1.0 / jnp.where(safe, pz, 1.0)
+        uu = jnp.where(safe, px * inv, -1e9)
+        vv = jnp.where(safe, py * inv, -1e9)
+        lu = uu - um_f  # [1,P]
+        lv = vv - vr_f
+        wx = jnp.maximum(0.0, 1.0 - jnp.abs(lu - x_idx))  # [cb,P]
+        # hor[l,p] = Σ_x band[x,l]·wx[x,p] — lhs-transposed matmul, full MXU
+        hor = jax.lax.dot_general(
+            band, wx.astype(band.dtype), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [L,P]
+        return (hor * jnp.maximum(0.0, 1.0 - jnp.abs(lv - r_ids))).astype(mm_dtype)
 
-        for d in range(Dc):
-            hyp = lo + (d0 + d) * st  # [P,1]
-            px = rx * hyp + t0
-            py = ry * hyp + t1
-            pz = rz * hyp + t2
-            safe = pz > 1e-6
-            inv = 1.0 / jnp.where(safe, pz, 1.0)
-            uu = jnp.where(safe, px * inv, -1e9)
-            vv = jnp.where(safe, py * inv, -1e9)
-            lu = uu - um_f
-            lv = vv - vr_f
-            wx = jnp.maximum(0.0, 1.0 - jnp.abs(lu - x_idx))  # [P,cb]
-            hor = jax.lax.dot_general(
-                wx.astype(band.dtype), band, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # [P,L]
-            sarr = (hor * jnp.maximum(0.0, 1.0 - jnp.abs(lv - r_ids))).astype(mm_dtype)
-            samp = jax.lax.dot_general(
-                sarr, S, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # [P,C]
-            if mode == "corr":
-                corr_cols.append(jnp.sum(refv * samp, axis=1, keepdims=True) / C)
-            else:
-                contrib = wv * (refv * samp)
-                if v == 0:
-                    acc_ref[:, d * C : (d + 1) * C] = contrib
-                else:
-                    acc_ref[:, d * C : (d + 1) * C] += contrib
-        if mode == "corr":
-            break  # the view loop is the grid axis in corr mode
+    if mode == "fused":
 
-    if mode == "corr":
-        out_ref[0] = jnp.concatenate(corr_cols, axis=1).astype(out_ref.dtype)
+        def body(d, _):
+            hyp = lo + (d0 + d.astype(jnp.float32)) * st  # [1,P]
+            acc = jnp.zeros((C, P), jnp.float32)
+            for v in range(Vs):
+                sarr = sample_one(v, hyp)
+                # samp[c,p] = Σ_l S[l,c]·sarr[l,p]
+                samp = jax.lax.dot_general(
+                    S, sarr, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # [C,P]
+                acc = acc + geo[v][6] * (refv * samp)
+            out_ref[d, 0] = acc.astype(out_ref.dtype)
+            return 0
+
+        jax.lax.fori_loop(0, Dc, body, 0)
     else:
-        for d in range(Dc):
-            out_ref[d, 0] = acc_ref[:, d * C : (d + 1) * C].astype(out_ref.dtype)
+        row_d = jax.lax.broadcasted_iota(jnp.int32, (Dc, P), 0)
+
+        def body(d, cols):
+            hyp = lo + (d0 + d.astype(jnp.float32)) * st
+            sarr = sample_one(0, hyp)
+            col = jnp.sum(sarr.astype(jnp.float32) * ref_exp, axis=0, keepdims=True) / C
+            return jnp.where(row_d == d, col, cols)
+
+        cols = jax.lax.fori_loop(
+            0, Dc, body, jnp.zeros((Dc, P), jnp.float32)
+        )
+        out_ref[0, 0] = cols.astype(out_ref.dtype)
 
 
 def _prep_common(srcs: MergedSources, lo, step, D, d_chunk, tile_h, tile_w):
@@ -392,10 +414,10 @@ def fused_sweep_volume(
     wn = (weights / (1e-5 + jnp.sum(weights, axis=-1, keepdims=True))).astype(
         jnp.float32
     )
-    lo_f = _fold_tiles(lo.astype(jnp.float32), tile_h, tile_w)
-    st_f = _fold_tiles(step.astype(jnp.float32), tile_h, tile_w)
-    ref_f = _fold_tiles(ref_feat.astype(jnp.float32), tile_h, tile_w)
-    w_f = _fold_tiles(wn, tile_h, tile_w)
+    ls = jnp.stack([lo, step], axis=-1).astype(jnp.float32)  # [B,h,w,2]
+    ls_f = _fold_tiles_t(ls, tile_h, tile_w)  # [BT,2,P]
+    ref_f = _fold_tiles_t(ref_feat.astype(jnp.float32), tile_h, tile_w)  # [BT,C,P]
+    w_f = _fold_tiles_t(wn, tile_h, tile_w)  # [BT,Vs,P]
 
     P = tile_h * tile_w
     G = B * NC * T
@@ -405,19 +427,20 @@ def fused_sweep_volume(
         num_scalar_prefetch=3,
         grid=(G,),
         in_specs=[
-            pl.BlockSpec((1, P), lambda g, *_: (_row_bt(g, T, NC), 0)),
-            pl.BlockSpec((1, P), lambda g, *_: (_row_bt(g, T, NC), 0)),
-            pl.BlockSpec((1, P, C), lambda g, *_: (_row_bt(g, T, NC), 0, 0)),
-            pl.BlockSpec((1, P, Vs), lambda g, *_: (_row_bt(g, T, NC), 0, 0)),
+            pl.BlockSpec((1, 2, P), lambda g, *_: (_row_bt(g, T, NC), 0, 0)),
+            pl.BlockSpec((1, C, P), lambda g, *_: (_row_bt(g, T, NC), 0, 0)),
+            pl.BlockSpec((1, Vs, P), lambda g, *_: (_row_bt(g, T, NC), 0, 0)),
             pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
         ],
         out_specs=pl.BlockSpec(
-            (Dc, 1, P, C), lambda g, *_: (g // T % NC, _row_bt(g, T, NC), 0, 0)
+            (Dc, 1, C, P),
+            lambda g, *_: (
+                jax.lax.rem(jax.lax.div(g, T), NC), _row_bt(g, T, NC), 0, 0,
+            ),
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, cb, RB * C), mm_dtype),
-            pltpu.VMEM((P, Dc * C), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((2, Vs, cb, RB * C), mm_dtype),
+            pltpu.SemaphoreType.DMA((2, Vs)),
         ],
     )
     out = pl.pallas_call(
@@ -427,7 +450,10 @@ def fused_sweep_volume(
             mm_dtype=mm_dtype,
         ),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((D, B * T, P, C), out_dtype),
+        # default scoped-vmem cap is 16M; v5e has 128M physical VMEM and the
+        # resident set here (bands + double-buffered out + [L,P] temps) is ~18M
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
+        out_shape=jax.ShapeDtypeStruct((D, B * T, C, P), out_dtype),
         cost_estimate=pl.CostEstimate(
             flops=G * Vs * Dc * 2 * P * (cb + C) * RB * C,
             bytes_accessed=G * Vs * cb * RB * C * srcs.data.dtype.itemsize
@@ -435,17 +461,21 @@ def fused_sweep_volume(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(umin, vrow, geom, lo_f, st_f, ref_f, w_f, srcs.data)
+    )(umin, vrow, geom, ls_f, ref_f, w_f, srcs.data)
 
-    out = out.reshape(D, B, nty, ntx, tile_h, tile_w, C)
-    out = out.transpose(0, 1, 2, 4, 3, 5, 6).reshape(D, B, hp, wp, C)
+    out = out.reshape(D, B, nty, ntx, C, tile_h, tile_w)
+    out = out.transpose(0, 1, 2, 5, 3, 6, 4).reshape(D, B, hp, wp, C)
     return out[:, :, :h, :w]
 
 
 def _row_bt(g, T, NC):
-    """Grid step -> row index b*T + t of the folded per-tile arrays."""
-    t = g % T
-    b = g // (T * NC)
+    """Grid step -> row index b*T + t of the folded per-tile arrays.
+
+    Mosaic block index maps must stay simple arithmetic: python ``//``/``%``
+    on traced values lower to sign-correcting jaxprs it rejects, so use the
+    C-style lax forms (g >= 0 always)."""
+    t = jax.lax.rem(g, T)
+    b = jax.lax.div(g, T * NC)
     return b * T + t
 
 
@@ -485,36 +515,40 @@ def corr_sweep_volume(
     umin = um4.transpose(3, 0, 1, 2).reshape(-1)
     vrow = vr4.transpose(3, 0, 1, 2).reshape(-1)
 
-    lo_f = _fold_tiles(lo.astype(jnp.float32), tile_h, tile_w)
-    st_f = _fold_tiles(step.astype(jnp.float32), tile_h, tile_w)
-    ref_f = _fold_tiles(ref_feat.astype(jnp.float32), tile_h, tile_w)
+    ls = jnp.stack([lo, step], axis=-1).astype(jnp.float32)  # [B,h,w,2]
+    ls_f = _fold_tiles_t(ls, tile_h, tile_w)  # [BT,2,P]
+    ref_f = _fold_tiles_t(ref_feat.astype(jnp.float32), tile_h, tile_w)  # [BT,C,P]
 
     P = tile_h * tile_w
     G = Vs * B * NC * T
     mm_dtype = srcs.data.dtype
 
     def row_idx(g, *_):
-        t = g % T
-        b = g // (T * NC) % B
+        t = jax.lax.rem(g, T)
+        b = jax.lax.rem(jax.lax.div(g, T * NC), B)
         return b * T + t
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(G,),
         in_specs=[
-            pl.BlockSpec((1, P), lambda g, *_: (row_idx(g), 0)),
-            pl.BlockSpec((1, P), lambda g, *_: (row_idx(g), 0)),
-            pl.BlockSpec((1, P, C), lambda g, *_: (row_idx(g), 0, 0)),
+            pl.BlockSpec((1, 2, P), lambda g, *_: (row_idx(g), 0, 0)),
+            pl.BlockSpec((1, C, P), lambda g, *_: (row_idx(g), 0, 0)),
             pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
         ],
         out_specs=pl.BlockSpec(
-            # row = (v*B + b)*T + t, chunk block c
-            (1, P, Dc),
-            lambda g, *_: ((g // (T * NC)) * T + g % T, 0, g // T % NC),
+            # out [NC, Vs*B*T, Dc, P]: depth on sublanes, pixels on lanes
+            (1, 1, Dc, P),
+            lambda g, *_: (
+                jax.lax.rem(jax.lax.div(g, T), NC),
+                jax.lax.div(g, T * NC) * T + jax.lax.rem(g, T),
+                0,
+                0,
+            ),
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, cb, RB * C), mm_dtype),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((2, 1, cb, RB * C), mm_dtype),
+            pltpu.SemaphoreType.DMA((2, 1)),
         ],
     )
     out = pl.pallas_call(
@@ -524,7 +558,8 @@ def corr_sweep_volume(
             mm_dtype=mm_dtype,
         ),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((Vs * B * T, P, D), jnp.float32),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
+        out_shape=jax.ShapeDtypeStruct((NC, Vs * B * T, Dc, P), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=G * Dc * 2 * P * (cb + C) * RB * C,
             bytes_accessed=G * cb * RB * C * srcs.data.dtype.itemsize
@@ -532,8 +567,9 @@ def corr_sweep_volume(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(umin, vrow, geom, lo_f, st_f, ref_f, srcs.data)
+    )(umin, vrow, geom, ls_f, ref_f, srcs.data)
 
-    out = out.reshape(Vs, B, nty, ntx, tile_h, tile_w, D)
-    out = out.transpose(0, 1, 2, 4, 3, 5, 6).reshape(Vs, B, hp, wp, D)
+    # [NC,VsBT,Dc,P] -> [Vs,B,h,w,D]
+    out = out.transpose(1, 0, 2, 3).reshape(Vs, B, nty, ntx, D, tile_h, tile_w)
+    out = out.transpose(0, 1, 2, 5, 3, 6, 4).reshape(Vs, B, hp, wp, D)
     return out[:, :, :h, :w]

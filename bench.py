@@ -77,13 +77,17 @@ def make_inputs(height, width, views, batch):
 
 
 def run_bench(height, width, views, numdepth, iters, model_name, warmup=1,
-              warp_impl="gather", dtype=None, batch=1, bands=None, remat=True):
+              warp_impl="gather", dtype=None, batch=1, bands=None, remat=True,
+              sweep_impl="scan", fuse_d_chunk=16):
     import jax
     import jax.numpy as jnp
 
     from adamvs_tpu.models import build_model
 
     kw = {"warp_impl": warp_impl, "use_remat": remat}
+    if model_name == "adamvs":
+        kw["sweep_impl"] = sweep_impl
+        kw["fuse_d_chunk"] = fuse_d_chunk
     if bands is not None:
         kw["warp_bands"] = tuple(bands)
     if dtype == "bf16":
@@ -188,6 +192,11 @@ def main():
     ap.add_argument("--numdepth", type=int, default=192)
     ap.add_argument("--warp_impl", default="pallas2bf16",
                     choices=["gather", "banded", "pallas", "pallas2", "pallas2bf16"])
+    ap.add_argument("--sweep_impl", default="scan",
+                    choices=["scan", "fused", "fusedf32"],
+                    help="fused: one Pallas plane-sweep call per stage "
+                         "(adamvs only) instead of per-depth warps in-scan")
+    ap.add_argument("--fuse_d_chunk", type=int, default=16)
     ap.add_argument("--dtype", default="f32", choices=["f32", "bf16"])
     ap.add_argument("--batch", type=int, default=1,
                     help="frames per step; amortizes the serial depth recurrence")
@@ -213,7 +222,8 @@ def main():
     sec_per_batch, flops, nbytes = run_bench(
         h, w, 5, nd, args.iters, args.model,
         warp_impl=args.warp_impl, dtype=args.dtype, batch=args.batch, bands=bands,
-        remat=args.remat == "on",
+        remat=args.remat == "on", sweep_impl=args.sweep_impl,
+        fuse_d_chunk=args.fuse_d_chunk,
     )
     maps_per_s = args.batch / sec_per_batch
     result = {
@@ -223,8 +233,8 @@ def main():
         "vs_baseline": round(maps_per_s / REF_GPU_DEPTH_MAPS_PER_S, 3),
         "vs_baseline_strict": round(maps_per_s / REF_GPU_DEPTH_MAPS_PER_S_STRICT, 3),
         "config": {
-            "warp_impl": args.warp_impl, "dtype": args.dtype, "batch": args.batch,
-            "remat": args.remat,
+            "warp_impl": args.warp_impl, "sweep_impl": args.sweep_impl,
+            "dtype": args.dtype, "batch": args.batch, "remat": args.remat,
         },
     }
     if flops:

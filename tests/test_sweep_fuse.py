@@ -148,3 +148,38 @@ def test_fused_sweep_behind_camera_zeros():
     )
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_model_fused_sweep_matches_scan(synthetic_scene):
+    """AdaMVS(sweep_impl='fusedf32') == AdaMVS(sweep_impl='scan') forward:
+    same parameter tree, same math, one Pallas call per stage instead of a
+    per-depth warp inside the recurrent scan."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from adamvs_tpu.models import AdaMVS
+    from tests.test_models import scene_batch
+
+    imgs, projs, dv = scene_batch(synthetic_scene)
+    kw = dict(ndepths=(8, 4), depth_intervals_ratio=(4.0, 2.0), base=4,
+              cr_base=(4, 4))
+    m_scan = AdaMVS(warp_impl="gather", **kw)
+    m_fused = AdaMVS(sweep_impl="fusedf32", **kw)
+    variables = m_scan.init(jax.random.PRNGKey(0), imgs, projs, dv)
+
+    out_s = m_scan.apply(variables, imgs, projs, dv)
+    with pltpu.force_tpu_interpret_mode():
+        out_f = m_fused.apply(variables, imgs, projs, dv)
+
+    ds = np.asarray(out_s["depth"])
+    df = np.asarray(out_f["depth"])
+    scale = synthetic_scene.depth_end - synthetic_scene.depth_start
+    err = np.abs(ds - df)
+    assert np.median(err) < 1e-3 * scale
+    assert np.max(err) < 2e-2 * scale, f"max {err.max()} vs scale {scale}"
+    cs = np.asarray(out_s["photometric_confidence"])
+    cf = np.asarray(out_f["photometric_confidence"])
+    assert np.median(np.abs(cs - cf)) < 1e-3
+    # stage-1 per-view confidences feed later stages: check them too
+    ps = np.asarray(out_s["stage1"]["pair_confidence"])
+    pf = np.asarray(out_f["stage1"]["pair_confidence"])
+    assert np.median(np.abs(ps - pf)) < 1e-3

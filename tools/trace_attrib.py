@@ -27,6 +27,7 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--warp_impl", default="pallas2bf16")
+    ap.add_argument("--sweep_impl", default="scan")
     ap.add_argument("--dtype", default="bf16")
     ap.add_argument("--small", action="store_true")
     ap.add_argument("--trace_dir", default="/tmp/attrib_trace")
@@ -39,7 +40,7 @@ def main():
     from bench import make_inputs
 
     h, w, nd = (704, 480, 96) if args.small else (2752, 1856, 192)
-    kw = {"warp_impl": args.warp_impl}
+    kw = {"warp_impl": args.warp_impl, "sweep_impl": args.sweep_impl}
     if args.dtype == "bf16":
         kw["dtype"] = jnp.bfloat16
     model = build_model("adamvs", **kw)
@@ -96,6 +97,8 @@ def main():
         total += dur
         if "pairmatch" in op:
             key = "stage1_pairmatch"
+        elif "sweep_fusedvol" in op:
+            key = op.split("_sweep")[0].split("/")[-1] + "_fusedvol"
         elif "stage1_sweep" in op:
             key = "stage1_sweep"
         elif "stage2_sweep" in op:
