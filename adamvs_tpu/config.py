@@ -51,8 +51,7 @@ class ModelConfig:
             base=self.base_channels,
             warp_impl=self.warp_impl,
         )
-        if self.model == "adamvs":
-            kwargs["sweep_impl"] = self.sweep_impl
+        kwargs["sweep_impl"] = self.sweep_impl
         if self.dtype == "bf16":
             kwargs["dtype"] = jnp.bfloat16
         if self.model == "msrednet":

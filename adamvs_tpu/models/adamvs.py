@@ -48,7 +48,13 @@ from ..ops.regression import (
     resize_bilinear,
 )
 from ..ops.sampling import uniform_depth_samples, window_min_and_interval
-from ..ops.sweep_fuse import corr_sweep_volume, fused_sweep_volume, merge_sources
+from ..ops.sweep_fuse import (
+    corr_sweep_volume,
+    fold_grid,
+    fused_sweep_volume,
+    merge_sources,
+    unfold_tiles,
+)
 from ..ops.warp import plane_sweep_warp
 from ..ops.warp_banded import plane_sweep_warp_banded
 from ..ops.warp_pallas import plane_sweep_warp_pallas
@@ -270,22 +276,32 @@ class _AdaRegStreamCell(nn.Module):
 class _AdaRegIdxStreamCell(nn.Module):
     """Scan cell over precomputed fused slices with the hypothesis map built
     in-cell from (lo, step, d) — the one-call fused-sweep path
-    (ops/sweep_fuse.py). Same parameter tree as ``_AdaFuseStreamCell``."""
+    (ops/sweep_fuse.py). Same parameter tree as ``_AdaFuseStreamCell``.
+
+    ``grid`` non-empty: slices arrive in the kernel-native folded layout
+    [B*T, C, P] and are unfolded here, per slice — XLA fuses the scan's
+    dynamic-slice with the unfold transpose instead of materializing a
+    transposed full volume."""
 
     base: int
     up: bool
+    grid: tuple = ()
+    tile: tuple[int, int] = (8, 64)
     dtype: Any = None
 
     @nn.compact
-    def __call__(self, carry, fused, d, lo, step):
+    def __call__(self, carry, fused, d, lo_acc, step_acc):
+        """``lo_acc``/``step_acc`` are pre-resized to the accumulator
+        resolution: bilinear resize is linear, so
+        resize(lo + d*step) == resize(lo) + d*resize(step) exactly — one
+        resize per stage instead of one per depth slice."""
         red_carry, acc = carry
+        if self.grid:
+            fused = unfold_tiles(fused, self.grid, *self.tile)
         red_carry, cost = AdaRedCell(self.base, self.up, dtype=self.dtype, name="cell")(
             red_carry, fused
         )
-        hyp = lo + d * step  # [B,h,w]
-        if self.up:
-            hyp = resize_bilinear(hyp, hyp.shape[1] * 2, hyp.shape[2] * 2)
-        acc = online_softmax_update(acc, cost[..., 0], hyp)
+        acc = online_softmax_update(acc, cost[..., 0], lo_acc + d * step_acc)
         return (red_carry, acc), jnp.float32(0.0)
 
 
@@ -464,22 +480,35 @@ class AdaMVS(nn.Module):
 
             up = _UP_BY_STAGE[si]
             out_h, out_w = (2 * h, 2 * w) if up else (h, w)
-            red_carry = AdaRedCell(self.cr_base[si], up).init_carry(B, h, w)
+            # carry dtype must match the cell compute dtype: an f32 carry
+            # promotes every step's concat([x, h]) to f32, forcing per-step
+            # converts + f32 convs inside the scan (seen as 'data formatting'
+            # in traces). The online-softmax accumulator stays f32.
+            red_carry = AdaRedCell(self.cr_base[si], up).init_carry(
+                B, h, w, self.dtype or jnp.float32
+            )
             acc = online_softmax_init((B, out_h, out_w))
             if use_fused:
+                fgrid = fold_grid(B, h, w)
                 with jax.named_scope(f"{key}_sweep_fusedvol"):
                     fused_all = fused_sweep_volume(
                         ref_feat, srcs_m, src_projs, ref_proj, weights, lo, step,
                         num_depth=D, d_chunk=self.fuse_d_chunk,
-                        out_dtype=self.dtype or jnp.float32,
-                    )  # [D,B,h,w,C]
+                        out_dtype=self.dtype or jnp.float32, folded=True,
+                    )  # [D,B*T,C,P]
                 cell = scan_idx(
-                    self.cr_base[si], up, dtype=self.dtype, name=f"reg_fuse{si + 1}"
+                    self.cr_base[si], up, fgrid, dtype=self.dtype,
+                    name=f"reg_fuse{si + 1}",
                 )
                 d_idx = jnp.arange(D, dtype=jnp.float32)
+                if up:
+                    lo_acc = resize_bilinear(lo, out_h, out_w)
+                    step_acc = resize_bilinear(step, out_h, out_w)
+                else:
+                    lo_acc, step_acc = lo, step
                 with jax.named_scope(f"{key}_sweep_fusedreg"):
                     (red_carry, acc), _ = cell(
-                        (red_carry, acc), fused_all, d_idx, lo, step
+                        (red_carry, acc), fused_all, d_idx, lo_acc, step_acc
                     )
             elif self.depth_mesh is not None:
                 fused_all, hyp_acc_all = _depth_sharded_fuse(

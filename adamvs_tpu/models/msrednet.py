@@ -52,6 +52,7 @@ from ..ops.regression import (
     resize_bilinear,
 )
 from ..ops.sampling import window_min_and_interval
+from ..ops.sweep_fuse import fold_grid, merge_sources, unfold_tiles, var_sweep_volume
 from ..ops.warp import plane_sweep_warp
 from .adamvs import _num_src, get_warp_fn, parse_depth_values, prepare_warp_sources
 
@@ -87,6 +88,29 @@ class _RedStreamCell(nn.Module):
         return (red_carry, acc), jnp.float32(0.0)
 
 
+class _RedIdxStreamCell(nn.Module):
+    """Scan cell over precomputed variance slices (the one-call fused-sweep
+    path, ops/sweep_fuse.py ``var_sweep_volume``). Same parameter tree as
+    ``_RedStreamCell`` (one ``cell`` submodule). ``grid`` non-empty: slices
+    arrive kernel-folded [B*T, C, P] and are unfolded here per slice."""
+
+    base: int
+    grid: tuple = ()
+    tile: tuple[int, int] = (8, 64)
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, carry, variance, d, lo, step):
+        red_carry, acc = carry
+        if self.grid:
+            variance = unfold_tiles(variance, self.grid, *self.tile)
+        red_carry, cost = RedCell(self.base, dtype=self.dtype, name="cell")(
+            red_carry, variance
+        )
+        acc = online_softmax_update(acc, cost[..., 0], lo + d * step)
+        return (red_carry, acc), jnp.float32(0.0)
+
+
 class MSREDNet(nn.Module):
     """Cascade orchestrator (reference CascadeREDNet msrednet.py:246-334)."""
 
@@ -100,6 +124,10 @@ class MSREDNet(nn.Module):
     warp_bands: tuple[int, int] = (32, 256)
     use_remat: bool = True
     dtype: Any = None
+    # "scan" | "fused" (bf16 bands) | "fusedf32": see AdaMVS.sweep_impl
+    sweep_impl: str = "scan"
+    fuse_bands: tuple[int, int] = (12, 128)
+    fuse_d_chunk: int = 16
 
     def feature_module(self) -> nn.Module:
         return RedFeatureNet(
@@ -150,6 +178,17 @@ class MSREDNet(nn.Module):
             in_axes=(0,) + (nn.broadcast,) * 6,
             out_axes=0,
         )
+        idx_cls = nn.remat(_RedIdxStreamCell) if self.use_remat else _RedIdxStreamCell
+        scan_idx = nn.scan(
+            idx_cls,
+            variable_broadcast="params",
+            split_rngs={"params": False},
+            in_axes=(0, 0, nn.broadcast, nn.broadcast),
+            out_axes=0,
+        )
+        # fused sweep is inference-only (no VJP on the Pallas kernels)
+        use_fused = self.sweep_impl in ("fused", "fusedf32") and not train
+        fuse_mm = jnp.float32 if self.sweep_impl == "fusedf32" else jnp.bfloat16
 
         outputs: dict[str, Any] = {}
         prev_depth = None
@@ -183,17 +222,45 @@ class MSREDNet(nn.Module):
                 lo = resize_bilinear(lo_f, h, w)
                 step = resize_bilinear(step_f, h, w)
 
-            cell = scan_cell(
-                self.cr_base[si], self.warp_impl, self.warp_bands,
-                dtype=self.dtype, name=f"reg{si + 1}",
+            # carry dtype must match the cell compute dtype (see adamvs.py)
+            red_carry = RedCell(self.cr_base[si]).init_carry(
+                B, h, w, self.dtype or jnp.float32
             )
-            red_carry = RedCell(self.cr_base[si]).init_carry(B, h, w)
             acc = online_softmax_init((B, h, w))
             d_idx = jnp.arange(D, dtype=jnp.float32)
-            with jax.named_scope(f"{key}_sweep"):
-                (red_carry, acc), _ = cell(
-                    (red_carry, acc), d_idx, ref_feat, src_feats_w, src_projs, ref_proj, lo, step
+            if use_fused:
+                src_arr = (
+                    src_feats
+                    if isinstance(src_feats, jnp.ndarray)
+                    else jnp.stack(list(src_feats))
                 )
+                srcs_m = merge_sources(
+                    src_arr, row_band=self.fuse_bands[0],
+                    col_band=self.fuse_bands[1], mm_dtype=fuse_mm,
+                )
+                with jax.named_scope(f"{key}_sweep_fusedvol"):
+                    var_all = var_sweep_volume(
+                        ref_feat, srcs_m, src_projs, ref_proj, lo, step,
+                        num_depth=D, d_chunk=self.fuse_d_chunk,
+                        out_dtype=self.dtype or jnp.float32, folded=True,
+                    )  # [D,B*T,C,P]
+                cell = scan_idx(
+                    self.cr_base[si], fold_grid(B, h, w), dtype=self.dtype,
+                    name=f"reg{si + 1}",
+                )
+                with jax.named_scope(f"{key}_sweep_fusedreg"):
+                    (red_carry, acc), _ = cell(
+                        (red_carry, acc), var_all, d_idx, lo, step
+                    )
+            else:
+                cell = scan_cell(
+                    self.cr_base[si], self.warp_impl, self.warp_bands,
+                    dtype=self.dtype, name=f"reg{si + 1}",
+                )
+                with jax.named_scope(f"{key}_sweep"):
+                    (red_carry, acc), _ = cell(
+                        (red_carry, acc), d_idx, ref_feat, src_feats_w, src_projs, ref_proj, lo, step
+                    )
             depth, conf = online_softmax_finalize(acc)
             outputs[key] = {"depth": depth, "photometric_confidence": conf}
             prev_depth = depth

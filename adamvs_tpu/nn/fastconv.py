@@ -36,13 +36,21 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+import os
+
+_DISABLE_SHIFT = os.environ.get("ADAMVS_NO_SHIFT_CONV", "") not in ("", "0")
+
+
 def _use_shift(ci: int, co: int) -> bool:
     """Slope-timed on TPU v5e (tools/conv_probe3.py, 1376x928 spatial): the
     shift-einsum path wins only when one side is <=8 channels and the other
     <=16 (it is HBM-bandwidth-bound there; stock XLA conv picks a pathological
     algorithm at 8->8 f32). From 16->16 upward the stock conv is 1.4-4x faster
     (12.5 TF/s at 48ch, 55-75 TF/s at 128ch). Round 1 measured the opposite
-    because per-dispatch wall timings carried a ~50 ms host round-trip."""
+    because per-dispatch wall timings carried a ~50 ms host round-trip.
+    ``ADAMVS_NO_SHIFT_CONV=1`` forces the stock path (A/B probe knob)."""
+    if _DISABLE_SHIFT:
+        return False
     return min(ci, co) <= 8 and max(ci, co) <= 16
 
 
@@ -63,6 +71,9 @@ def conv2d_shift(x: jnp.ndarray, k: jnp.ndarray, stride: int = 1) -> jnp.ndarray
     ph1 += kh
     pw1 += kw
     xp = jnp.pad(x, ((0, 0), (ph0, ph1), (pw0, pw1), (0, 0)))
+    # NOTE: an im2col variant (concat the kh*kw taps, one K=kh*kw*Ci einsum)
+    # measured +1% on TPU but deadlocks XLA:CPU collective thunks on a
+    # virtual 8-device mesh (the multichip dryrun path) — keep per-tap form.
     out = None
     for dy in range(kh):
         for dx in range(kw):

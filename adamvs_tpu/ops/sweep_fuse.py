@@ -202,7 +202,11 @@ def _sweep_kernel(
     if mode == "fused":
         ls_ref, ref_ref, w_ref, feat_ref, out_ref, band_ref, sem = refs
         KV = Vs  # bands resident per grid step
-    else:
+    elif mode == "var":
+        ls_ref, ref_ref, feat_ref, out_ref, band_ref, sem = refs
+        w_ref = None
+        KV = Vs
+    else:  # corr
         ls_ref, ref_ref, feat_ref, out_ref, band_ref, sem = refs
         w_ref = None
         KV = 1
@@ -317,11 +321,16 @@ def _sweep_kernel(
         )  # [L,P]
         return (hor * jnp.maximum(0.0, 1.0 - jnp.abs(lv - r_ids))).astype(mm_dtype)
 
-    if mode == "fused":
+    if mode in ("fused", "var"):
+        nv = jnp.float32(Vs + 1)  # var counts the reference view too
 
         def body(d, _):
             hyp = lo + (d0 + d.astype(jnp.float32)) * st  # [1,P]
-            acc = jnp.zeros((C, P), jnp.float32)
+            if mode == "var":
+                s_acc = refv
+                q_acc = refv * refv
+            else:
+                acc = jnp.zeros((C, P), jnp.float32)
             for v in range(Vs):
                 sarr = sample_one(v, hyp)
                 # samp[c,p] = Σ_l S[l,c]·sarr[l,p]
@@ -329,7 +338,14 @@ def _sweep_kernel(
                     S, sarr, (((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )  # [C,P]
-                acc = acc + geo[v][6] * (refv * samp)
+                if mode == "var":
+                    s_acc = s_acc + samp
+                    q_acc = q_acc + samp * samp
+                else:
+                    acc = acc + geo[v][6] * (refv * samp)
+            if mode == "var":
+                m = s_acc / nv
+                acc = q_acc / nv - m * m  # E[x²] − E[x]² (msrednet.py:214-231)
             out_ref[d, 0] = acc.astype(out_ref.dtype)
             return 0
 
@@ -377,10 +393,27 @@ def _geom_array(src_projs, ref_proj):
     return rot, trans, flat
 
 
+def fold_grid(B: int, h: int, w: int, tile_h: int = 8, tile_w: int = 64):
+    """The (B, nty, ntx, h, w) tile grid of a ``folded=True`` fused volume."""
+    return (B, -(-h // tile_h), -(-w // tile_w), h, w)
+
+
+def unfold_tiles(x: jnp.ndarray, grid: tuple, tile_h: int, tile_w: int):
+    """[B*T, C, P] (one depth slice of a ``folded=True`` fused volume) ->
+    [B, h, w, C]. Kept separate so a scan cell can unfold per slice — XLA
+    then fuses the slice+transpose instead of materializing a transposed
+    full volume (measured 0.6 s/map of pure data formatting at bench shapes)."""
+    B, nty, ntx, h, w = grid
+    C = x.shape[1]
+    x = x.reshape(B, nty, ntx, C, tile_h, tile_w)
+    x = x.transpose(0, 1, 4, 2, 5, 3).reshape(B, nty * tile_h, ntx * tile_w, C)
+    return x[:, :h, :w]
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("num_depth", "d_chunk", "tile_h", "tile_w", "out_dtype",
-                     "interpret"),
+                     "interpret", "folded"),
 )
 def fused_sweep_volume(
     ref_feat: jnp.ndarray,  # [B,h,w,C]
@@ -396,10 +429,14 @@ def fused_sweep_volume(
     tile_w: int = 64,
     out_dtype=jnp.float32,
     interpret: bool = False,
+    folded: bool = False,
 ) -> jnp.ndarray:
     """Visibility-weighted fused cost volume [D, B, h, w, C]:
     ``fused_d = Σ_v w_v (ref ⊙ warp_v(hyp_d)) / (1e-5 + Σ_v w_v)`` with
-    ``hyp_d = lo + d*step`` (adamvs.py:497-512)."""
+    ``hyp_d = lo + d*step`` (adamvs.py:497-512).
+
+    ``folded=True`` returns the kernel-native ([D, B*T, C, P], grid) instead,
+    for per-slice unfolding via ``unfold_tiles`` inside a depth scan."""
     D = num_depth
     C, Lv, B, h, w, hp, wp, nty, ntx, T, Dc, NC, Wp, Hp = _prep_common(
         srcs, lo, step, D, d_chunk, tile_h, tile_w
@@ -463,6 +500,94 @@ def fused_sweep_volume(
         interpret=interpret,
     )(umin, vrow, geom, ls_f, ref_f, w_f, srcs.data)
 
+    if folded:
+        return out  # [D, B*T, C, P]; grid = fold_grid(B, h, w, tile_h, tile_w)
+    out = out.reshape(D, B, nty, ntx, C, tile_h, tile_w)
+    out = out.transpose(0, 1, 2, 5, 3, 6, 4).reshape(D, B, hp, wp, C)
+    return out[:, :, :h, :w]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_depth", "d_chunk", "tile_h", "tile_w", "out_dtype",
+                     "interpret", "folded"),
+)
+def var_sweep_volume(
+    ref_feat: jnp.ndarray,  # [B,h,w,C]
+    srcs: MergedSources,
+    src_projs: jnp.ndarray,  # [Vs,B,4,4]
+    ref_proj: jnp.ndarray,  # [B,4,4]
+    lo: jnp.ndarray,  # [B,h,w]
+    step: jnp.ndarray,  # [B,h,w]
+    num_depth: int,
+    d_chunk: int = 16,
+    tile_h: int = 8,
+    tile_w: int = 64,
+    out_dtype=jnp.float32,
+    interpret: bool = False,
+    folded: bool = False,
+) -> jnp.ndarray:
+    """Variance-aggregated cost volume [D, B, h, w, C] over {ref, warps}:
+    ``var_d = E[x²] − E[x]²`` across the V views (msrednet.py:214-231), with
+    ``hyp_d = lo + d*step``. Same kernel skeleton as ``fused_sweep_volume``."""
+    D = num_depth
+    C, Lv, B, h, w, hp, wp, nty, ntx, T, Dc, NC, Wp, Hp = _prep_common(
+        srcs, lo, step, D, d_chunk, tile_h, tile_w
+    )
+    RB, cb = srcs.rb, srcs.cb
+    Vs = srcs.data.shape[0]
+    rot, trans, geom = _geom_array(src_projs, ref_proj)
+    umin, vrow = _band_origins(
+        rot, trans, lo, step, D, Dc, tile_h, tile_w, Hp, Wp, RB, cb, Lv, hp, wp
+    )
+
+    ls = jnp.stack([lo, step], axis=-1).astype(jnp.float32)  # [B,h,w,2]
+    ls_f = _fold_tiles_t(ls, tile_h, tile_w)  # [BT,2,P]
+    ref_f = _fold_tiles_t(ref_feat.astype(jnp.float32), tile_h, tile_w)  # [BT,C,P]
+
+    P = tile_h * tile_w
+    G = B * NC * T
+    mm_dtype = srcs.data.dtype
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(G,),
+        in_specs=[
+            pl.BlockSpec((1, 2, P), lambda g, *_: (_row_bt(g, T, NC), 0, 0)),
+            pl.BlockSpec((1, C, P), lambda g, *_: (_row_bt(g, T, NC), 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+        ],
+        out_specs=pl.BlockSpec(
+            (Dc, 1, C, P),
+            lambda g, *_: (
+                jax.lax.rem(jax.lax.div(g, T), NC), _row_bt(g, T, NC), 0, 0,
+            ),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, Vs, cb, RB * C), mm_dtype),
+            pltpu.SemaphoreType.DMA((2, Vs)),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(
+            _sweep_kernel, Vs=Vs, B=B, NC=NC, T=T, ntx=ntx, Dc=Dc, C=C,
+            RB=RB, cb=cb, tile_h=tile_h, tile_w=tile_w, mode="var",
+            mm_dtype=mm_dtype,
+        ),
+        grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
+        out_shape=jax.ShapeDtypeStruct((D, B * T, C, P), out_dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=G * Vs * Dc * 2 * P * (cb + C) * RB * C,
+            bytes_accessed=G * Vs * cb * RB * C * srcs.data.dtype.itemsize
+            + D * B * T * P * C * jnp.dtype(out_dtype).itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(umin, vrow, geom, ls_f, ref_f, srcs.data)
+
+    if folded:
+        return out  # [D, B*T, C, P]; grid = fold_grid(B, h, w, tile_h, tile_w)
     out = out.reshape(D, B, nty, ntx, C, tile_h, tile_w)
     out = out.transpose(0, 1, 2, 5, 3, 6, 4).reshape(D, B, hp, wp, C)
     return out[:, :, :h, :w]

@@ -84,10 +84,8 @@ def run_bench(height, width, views, numdepth, iters, model_name, warmup=1,
 
     from adamvs_tpu.models import build_model
 
-    kw = {"warp_impl": warp_impl, "use_remat": remat}
-    if model_name == "adamvs":
-        kw["sweep_impl"] = sweep_impl
-        kw["fuse_d_chunk"] = fuse_d_chunk
+    kw = {"warp_impl": warp_impl, "use_remat": remat,
+          "sweep_impl": sweep_impl, "fuse_d_chunk": fuse_d_chunk}
     if bands is not None:
         kw["warp_bands"] = tuple(bands)
     if dtype == "bf16":
@@ -179,6 +177,63 @@ def run_selftest(height, width, views, bands=None):
         u, v = _source_coords(rot, trans, depth, h, w)
         diag = band_overflow(u, v, h, w)
         out[f"stage{si+1}_band_overflow_frac"] = round(float(diag["overflow_frac"]), 8)
+
+    # fused sweep kernels (ops/sweep_fuse.py) vs the exact gather composition,
+    # on device, at a bench-geometry window (full-res gather is too slow)
+    from adamvs_tpu.ops.sweep_fuse import (
+        corr_sweep_volume, fused_sweep_volume, merge_sources, var_sweep_volume,
+    )
+
+    rng = np.random.RandomState(11)
+    for si, (s, C, D) in enumerate([(4, 32, 48), (2, 16, 32), (1, 8, 8)]):
+        hw, ww = 256, 256
+        Vs = views - 1
+        ref = jnp.asarray(rng.randn(1, hw, ww, C).astype(np.float32))
+        srcs_np = rng.randn(Vs, 1, hw, ww, C).astype(np.float32)
+        src_f = jnp.asarray(srcs_np)
+        sp = jnp.asarray(np.stack([np.asarray(projs[f"stage{si+1}"][0, v + 1])
+                                   for v in range(Vs)])[:, None])
+        rp = projs[f"stage{si+1}"][:, 0]
+        wts = jnp.asarray(rng.rand(1, hw, ww, Vs).astype(np.float32))
+        base = np.linspace(320.0, 470.0, ww, dtype=np.float32)[None, None, :]
+        prev = np.broadcast_to(base, (1, hw, ww)) + rng.randn(1, hw, ww) * 2.0
+        itv = (500.0 - 300.0) / 192 * (4, 2, 1)[si]
+        lo = jnp.asarray((prev - D / 2 * itv).astype(np.float32))
+        step = jnp.full((1, hw, ww), itv, jnp.float32)
+        srcs_m = merge_sources(src_f, row_band=12, col_band=128,
+                               mm_dtype=jnp.bfloat16)
+        gather = get_warp_fn("gather")
+        d_all = lo[:, None] + np.arange(D, dtype=np.float32)[None, :, None, None] * step[:, None]
+        wn = wts / (1e-5 + jnp.sum(wts, axis=-1, keepdims=True))
+        want = 0.0
+        s_sum = ref[:, None]
+        q_sum = (ref * ref)[:, None]
+        for v in range(Vs):
+            warped = gather(src_f[v], sp[v], rp, d_all)  # [B,D,h,w,C]
+            want = want + jnp.moveaxis(
+                wn[..., v:v+1][:, None] * (ref[:, None] * warped), 1, 0)
+            s_sum = s_sum + warped
+            q_sum = q_sum + warped * warped
+        got = fused_sweep_volume(ref, srcs_m, sp, rp, wts, lo, step, num_depth=D)
+        den = float(jnp.std(want)) + 1e-9
+        out[f"stage{si+1}_fusedvol_rel_maxerr"] = round(
+            float(jnp.max(jnp.abs(got - want))) / den, 6)
+        nv = Vs + 1
+        want_v = jnp.moveaxis(q_sum / nv - (s_sum / nv) ** 2, 1, 0)
+        got_v = var_sweep_volume(ref, srcs_m, sp, rp, lo, step, num_depth=D)
+        den_v = float(jnp.std(want_v)) + 1e-9
+        out[f"stage{si+1}_varvol_rel_maxerr"] = round(
+            float(jnp.max(jnp.abs(got_v - want_v))) / den_v, 6)
+        if si == 0:
+            want_c = jnp.stack([
+                jnp.moveaxis(jnp.mean(
+                    ref[:, None] * gather(src_f[v], sp[v], rp, d_all), -1), 1, -1)
+                for v in range(Vs)
+            ])  # [Vs,B,h,w,D]
+            got_c = corr_sweep_volume(ref, srcs_m, sp, rp, lo, step, num_depth=D)
+            den_c = float(jnp.std(want_c)) + 1e-9
+            out["stage1_corrvol_rel_maxerr"] = round(
+                float(jnp.max(jnp.abs(got_c - want_c))) / den_c, 6)
     return out
 
 
@@ -192,12 +247,12 @@ def main():
     ap.add_argument("--numdepth", type=int, default=192)
     ap.add_argument("--warp_impl", default="pallas2bf16",
                     choices=["gather", "banded", "pallas", "pallas2", "pallas2bf16"])
-    ap.add_argument("--sweep_impl", default="scan",
+    ap.add_argument("--sweep_impl", default="fused",
                     choices=["scan", "fused", "fusedf32"],
                     help="fused: one Pallas plane-sweep call per stage "
-                         "(adamvs only) instead of per-depth warps in-scan")
+                         "instead of per-depth warps in-scan")
     ap.add_argument("--fuse_d_chunk", type=int, default=16)
-    ap.add_argument("--dtype", default="f32", choices=["f32", "bf16"])
+    ap.add_argument("--dtype", default="bf16", choices=["f32", "bf16"])
     ap.add_argument("--batch", type=int, default=1,
                     help="frames per step; amortizes the serial depth recurrence")
     ap.add_argument("--bands", default=None,

@@ -183,3 +183,59 @@ def test_model_fused_sweep_matches_scan(synthetic_scene):
     ps = np.asarray(out_s["stage1"]["pair_confidence"])
     pf = np.asarray(out_f["stage1"]["pair_confidence"])
     assert np.median(np.abs(ps - pf)) < 1e-3
+
+
+def test_var_sweep_volume_matches_reference():
+    """var_sweep_volume == variance over {ref, gather-warped views}
+    (msrednet.py:214-231 semantics)."""
+    from adamvs_tpu.ops.sweep_fuse import var_sweep_volume
+
+    B, Vs, h, w, C, D = 1, 3, 24, 40, 8, 8
+    ref_feat, src_feats, src_projs, ref_proj, _, lo, step = make_case(
+        11, B, Vs, h, w, C
+    )
+    srcs = merge_sources(src_feats, row_band=12, col_band=128, mm_dtype=None)
+    got = var_sweep_volume(
+        ref_feat, srcs, src_projs, ref_proj, lo, step,
+        num_depth=D, d_chunk=4, interpret=True,
+    )
+    nv = Vs + 1
+    outs = []
+    for d in range(D):
+        hyp = (lo + d * step)[:, None]
+        s = ref_feat
+        q = ref_feat * ref_feat
+        for v in range(Vs):
+            warped = plane_sweep_warp(src_feats[v], src_projs[v], ref_proj, hyp)[:, 0]
+            s = s + warped
+            q = q + warped * warped
+        outs.append(q / nv - (s / nv) ** 2)
+    want = jnp.stack(outs)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_model_msrednet_fused_matches_scan(synthetic_scene):
+    """MSREDNet(sweep_impl='fusedf32') == MSREDNet(sweep_impl='scan')."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from adamvs_tpu.models import MSREDNet
+    from tests.test_models import scene_batch
+
+    imgs, projs, dv = scene_batch(synthetic_scene)
+    kw = dict(ndepths=(8, 4), depth_intervals_ratio=(4.0, 2.0), base=4,
+              cr_base=(4, 4))
+    m_scan = MSREDNet(warp_impl="gather", **kw)
+    m_fused = MSREDNet(sweep_impl="fusedf32", **kw)
+    variables = m_scan.init(jax.random.PRNGKey(0), imgs, projs, dv)
+
+    out_s = m_scan.apply(variables, imgs, projs, dv)
+    with pltpu.force_tpu_interpret_mode():
+        out_f = m_fused.apply(variables, imgs, projs, dv)
+
+    ds = np.asarray(out_s["depth"])
+    df = np.asarray(out_f["depth"])
+    scale = synthetic_scene.depth_end - synthetic_scene.depth_start
+    err = np.abs(ds - df)
+    assert np.median(err) < 1e-3 * scale
+    assert np.max(err) < 2e-2 * scale, f"max {err.max()} vs scale {scale}"

@@ -81,6 +81,7 @@ def main():
 
     buckets = defaultdict(float)
     cats = defaultdict(float)
+    ops = defaultdict(float)
     total = 0.0
     for e in events:
         if e.get("ph") != "X" or e.get("pid") not in dev_pids:
@@ -111,6 +112,7 @@ def main():
             key = "other"
         buckets[key] += dur
         cats[cat] += dur
+        ops[(e.get("name", ""), op, cat)] += dur
 
     print(f"\ntrace: {paths[-1]}")
     print(f"{'phase':36s} {'time(s)':>9s} {'share':>7s}")
@@ -120,6 +122,9 @@ def main():
     print("\nby hlo_category:")
     for k in sorted(cats, key=lambda k: -cats[k])[:10]:
         print(f"{k:36s} {cats[k]:9.3f} {cats[k]/max(total,1e-9)*100:6.1f}%")
+    print("\ntop 25 leaf ops (hlo name | scope | category):")
+    for (name, op, cat), t in sorted(ops.items(), key=lambda kv: -kv[1])[:25]:
+        print(f"{t:8.3f}s  {cat:18s} {name[:48]:48s} {op[-70:]}")
 
 
 if __name__ == "__main__":
