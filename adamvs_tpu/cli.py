@@ -239,7 +239,10 @@ def cmd_predict(args):
         from .parallel import make_mesh
 
         tile_mesh = make_mesh(data=1, tile=args.tiles)
-    engine = PredictEngine(model, variables, num_depth=pc.numdepth, tile_mesh=tile_mesh)
+    engine = PredictEngine(
+        model, variables, num_depth=pc.numdepth, tile_mesh=tile_mesh,
+        feature_cache=args.feature_cache,
+    )
     engine.run(
         source, pc.output_folder, display=pc.display,
         load_kwargs=dict(
@@ -345,6 +348,11 @@ def build_parser() -> argparse.ArgumentParser:
     pp.add_argument("--sample_scale", type=float, default=1.0)
     pp.add_argument("--interval_scale", type=float, default=1.0)
     pp.add_argument("--display", type=lambda s: s.lower() != "false", default=True)
+    pp.add_argument("--feature_cache", type=int, default=0,
+                    help="LRU size (in source images) of the on-device feature "
+                         "cache; each aerial image is a source view in several "
+                         "work items, so caching removes redundant feature "
+                         "passes. 0 = off.")
     pp.add_argument("--predict_batch", type=int, default=1,
                     help="frames per device step (amortizes the serial depth recurrence)")
     pp.add_argument("--tiles", type=int, default=1,

@@ -105,6 +105,9 @@ class PredictSample:
     ref_image_path: str
     name: str
     vid: str
+    # source image ids (ref first) — the per-view preprocessing is
+    # ref-independent, so these key the engine's cross-sample feature cache
+    view_ids: tuple = ()
 
 
 def _pyramid(arr: np.ndarray, num_stages: int = 3) -> dict[str, np.ndarray]:
@@ -225,6 +228,7 @@ def load_predict_sample(
         ref_image_path=ref_path,
         name=name,
         vid=vid,
+        view_ids=tuple(spec.view_ids),
     )
 
 

@@ -291,17 +291,33 @@ class _AdaRegIdxStreamCell(nn.Module):
 
     @nn.compact
     def __call__(self, carry, fused, d, lo_acc, step_acc):
-        """``lo_acc``/``step_acc`` are pre-resized to the accumulator
+        """One scan step = a BLOCK of K depth slices: ``fused`` [K,B*T,C,P]
+        (or [K,B,h,w,C]), ``d`` [K]. The K recurrent sub-steps run inside one
+        while-loop body — the per-iteration costs (dynamic-slice of the
+        volume, the unfold relayout, conv-input layout copies at region
+        boundaries) amortize over K. The ``cell`` submodule is instantiated
+        once and called K times, so the parameter tree is identical to the
+        per-slice cells'.
+
+        ``lo_acc``/``step_acc`` are pre-resized to the accumulator
         resolution: bilinear resize is linear, so
         resize(lo + d*step) == resize(lo) + d*resize(step) exactly — one
         resize per stage instead of one per depth slice."""
         red_carry, acc = carry
+        K = fused.shape[0]
         if self.grid:
-            fused = unfold_tiles(fused, self.grid, *self.tile)
-        red_carry, cost = AdaRedCell(self.base, self.up, dtype=self.dtype, name="cell")(
-            red_carry, fused
-        )
-        acc = online_softmax_update(acc, cost[..., 0], lo_acc + d * step_acc)
+            B, nty, ntx, h, w = self.grid
+            xs = unfold_tiles(
+                fused.reshape((K * B * nty * ntx,) + fused.shape[2:]),
+                (K * B, nty, ntx, h, w), *self.tile,
+            )  # one relayout for the whole block: [K*B, h, w, C]
+            xs = xs.reshape((K, B) + xs.shape[1:])
+        else:
+            xs = fused
+        cell = AdaRedCell(self.base, self.up, dtype=self.dtype, name="cell")
+        for k in range(K):
+            red_carry, cost = cell(red_carry, xs[k])
+            acc = online_softmax_update(acc, cost[..., 0], lo_acc + d[k] * step_acc)
         return (red_carry, acc), jnp.float32(0.0)
 
 
@@ -337,6 +353,11 @@ class AdaMVS(nn.Module):
     sweep_impl: str = "scan"
     fuse_bands: tuple[int, int] = (12, 128)
     fuse_d_chunk: int = 16
+    # depth slices per regularizer-scan step. Measured on v5e at bench shapes:
+    # K=4 is ~1% slower than K=1 (the while-step costs are data-proportional
+    # layout copies, not fixed overhead), so default 1; the knob remains for
+    # other shapes/generations.
+    fuse_scan_block: int = 1
 
     def feature_module(self) -> nn.Module:
         """Standalone feature net matching the 'feature' submodule — apply it
@@ -500,7 +521,11 @@ class AdaMVS(nn.Module):
                     self.cr_base[si], up, fgrid, dtype=self.dtype,
                     name=f"reg_fuse{si + 1}",
                 )
-                d_idx = jnp.arange(D, dtype=jnp.float32)
+                K = self.fuse_scan_block
+                if K <= 0 or D % K:
+                    K = 1
+                d_idx = jnp.arange(D, dtype=jnp.float32).reshape(D // K, K)
+                fused_all = fused_all.reshape((D // K, K) + fused_all.shape[1:])
                 if up:
                     lo_acc = resize_bilinear(lo, out_h, out_w)
                     step_acc = resize_bilinear(step, out_h, out_w)

@@ -39,6 +39,7 @@ import jax.numpy as jnp
 import os
 
 _DISABLE_SHIFT = os.environ.get("ADAMVS_NO_SHIFT_CONV", "") not in ("", "0")
+_SHIFT_MAX = int(os.environ.get("ADAMVS_SHIFT_MAX", "16"))
 
 
 def _use_shift(ci: int, co: int) -> bool:
@@ -48,10 +49,11 @@ def _use_shift(ci: int, co: int) -> bool:
     algorithm at 8->8 f32). From 16->16 upward the stock conv is 1.4-4x faster
     (12.5 TF/s at 48ch, 55-75 TF/s at 128ch). Round 1 measured the opposite
     because per-dispatch wall timings carried a ~50 ms host round-trip.
-    ``ADAMVS_NO_SHIFT_CONV=1`` forces the stock path (A/B probe knob)."""
+    A/B probe knobs: ``ADAMVS_NO_SHIFT_CONV=1`` forces the stock path
+    everywhere; ``ADAMVS_SHIFT_MAX=N`` changes the max-side threshold."""
     if _DISABLE_SHIFT:
         return False
-    return min(ci, co) <= 8 and max(ci, co) <= 16
+    return min(ci, co) <= 8 and max(ci, co) <= _SHIFT_MAX
 
 
 def conv2d_shift(x: jnp.ndarray, k: jnp.ndarray, stride: int = 1) -> jnp.ndarray:

@@ -106,16 +106,28 @@ class PredictEngine:
         log_fn: Callable[[str], None] = print,
         tile_mesh=None,
         halo: int | None = None,
+        feature_cache: int = 0,
     ):
         """``tile_mesh``: a Mesh with a 'tile' axis — shards each frame's rows
-        across devices (predict/tiled.py). None = single-device per frame."""
+        across devices (predict/tiled.py). None = single-device per frame.
+
+        ``feature_cache``: max source images whose feature pyramids stay
+        resident on device (LRU by image id). In an aerial block every image
+        serves as a source view in several work items (and as ref once); the
+        reference recomputes features every time (predict_whu.py:74-91) —
+        caching removes the redundant feature passes. 0 disables. Per-view
+        preprocessing is ref-independent (data/pipeline.py), so cached
+        features are exact."""
         self.model = model
         self.variables = variables
         self.num_depth = num_depth
         self.log = log_fn
         self.tile_mesh = tile_mesh
         self.halo = halo
+        self.feature_cache = feature_cache if tile_mesh is None else 0
         self._jitted: dict[tuple, Any] = {}
+        self._feat_cache: "dict[Any, dict]" = {}  # image id -> {stageK: [1,h,w,C]}
+        self._feat_order: list = []
 
     def _get_fn(self, shape_key: tuple):
         if shape_key not in self._jitted:
@@ -140,6 +152,8 @@ class PredictEngine:
     def predict_sample(self, sample: PredictSample) -> tuple[np.ndarray, np.ndarray]:
         imgs, H, W = _pad_to_multiple(sample.imgs)
         V = imgs.shape[0]
+        if self.feature_cache and sample.view_ids:
+            return self._predict_cached(sample, imgs, H, W)
         fn = self._get_fn((V,) + imgs.shape[1:3])
         depth, prob = fn(
             self.variables,
@@ -150,6 +164,71 @@ class PredictEngine:
         depth = np.asarray(depth)[0][:H, :W]
         prob = np.asarray(prob)[0][:H, :W]
         return depth, prob
+
+    # -- cross-sample feature caching -----------------------------------
+    def _feature_variables(self) -> dict:
+        fvars = {"params": self.variables["params"]["feature"]}
+        bs = self.variables.get("batch_stats")
+        if bs and "feature" in bs:
+            fvars["batch_stats"] = bs["feature"]
+        return fvars
+
+    def _get_feat_fn(self, shape_key: tuple):
+        key = ("feat",) + shape_key
+        if key not in self._jitted:
+            feat_mod = self.model.feature_module()
+
+            def feat(fvars, img):
+                return feat_mod.apply(fvars, img, False)  # {stageK: [1,h,w,C]}
+
+            self._jitted[key] = jax.jit(feat)
+        return self._jitted[key]
+
+    def _view_features(self, image_id, img: np.ndarray) -> dict:
+        if image_id in self._feat_cache:
+            self._feat_order.remove(image_id)
+            self._feat_order.append(image_id)
+            self.cache_hits = getattr(self, "cache_hits", 0) + 1
+            return self._feat_cache[image_id]
+        feats = self._get_feat_fn(img.shape[:2])(
+            self._feature_variables(), jnp.asarray(img[None])
+        )
+        self._feat_cache[image_id] = feats
+        self._feat_order.append(image_id)
+        while len(self._feat_order) > self.feature_cache:
+            self._feat_cache.pop(self._feat_order.pop(0))
+        return feats
+
+    def _get_featfwd_fn(self, shape_key: tuple):
+        key = ("featfwd",) + shape_key
+        if key not in self._jitted:
+            def fwd(variables, features, projs, depth_values):
+                out = self.model.apply(
+                    variables, None, projs, depth_values, train=False,
+                    num_depth=self.num_depth, features=features,
+                )
+                return out["depth"], out["photometric_confidence"]
+
+            self._jitted[key] = jax.jit(fwd)
+        return self._jitted[key]
+
+    def _predict_cached(self, sample: PredictSample, imgs: np.ndarray, H: int, W: int):
+        V = imgs.shape[0]
+        per_view = [
+            self._view_features(sample.view_ids[v], imgs[v]) for v in range(V)
+        ]
+        features = {
+            k: jnp.concatenate([fv[k] for fv in per_view], axis=0)[None]
+            for k in per_view[0]
+        }  # {stageK: [1,V,h,w,C]}
+        fn = self._get_featfwd_fn((V,) + imgs.shape[1:3])
+        depth, prob = fn(
+            self.variables,
+            features,
+            {k: jnp.asarray(v[None]) for k, v in sample.proj_matrices.items()},
+            jnp.asarray(sample.depth_values[None]),
+        )
+        return np.asarray(depth)[0][:H, :W], np.asarray(prob)[0][:H, :W]
 
     def predict_batch(self, samples: list[PredictSample]) -> list[tuple[np.ndarray, np.ndarray]]:
         """Batched forward over same-shape samples — the serial depth

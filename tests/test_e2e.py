@@ -94,3 +94,29 @@ def test_cli_predict(trees, tmp_path):
     pfm = [n for n in names if n.endswith("_init.pfm")][0]
     depth, _ = read_pfm(os.path.join(vdir, pfm))
     assert np.isfinite(depth).all()
+
+
+def test_cli_predict_feature_cache_exact(trees, tmp_path):
+    """--feature_cache N produces byte-identical depth maps: per-view
+    preprocessing is ref-independent, so cached pyramids are the same
+    tensors the uncached forward computes."""
+    _, pred_root = trees
+    out_a = str(tmp_path / "out_nocache")
+    out_b = str(tmp_path / "out_cache")
+    common = [
+        "predict", *TINY_FLAGS,
+        "--data_folder", pred_root,
+        "--view_num", "3", "--numdepth", "32",
+        "--resize_scale", "1.0", "--max_h", "512", "--max_w", "512",
+        "--display", "false",
+    ]
+    main(common + ["--output_folder", out_a])
+    main(common + ["--output_folder", out_b, "--feature_cache", "8"])
+
+    for vid in os.listdir(out_a):
+        for name in os.listdir(os.path.join(out_a, vid)):
+            if not name.endswith("_init.pfm"):
+                continue
+            da, _ = read_pfm(os.path.join(out_a, vid, name))
+            db, _ = read_pfm(os.path.join(out_b, vid, name))
+            np.testing.assert_allclose(da, db, rtol=1e-6, atol=1e-6)
