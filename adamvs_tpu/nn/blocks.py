@@ -163,12 +163,15 @@ class GNConvGRUCell(nn.Module):
             jnp.concatenate([x, h], axis=-1)
         )
         r, u = jnp.split(gates, 2, axis=-1)
-        r = nn.sigmoid(nn.GroupNorm(num_groups=1, epsilon=1e-5)(r))
-        u = nn.sigmoid(nn.GroupNorm(num_groups=1, epsilon=1e-5)(u))
+        # GroupNorm must follow the cell compute dtype: an f32 GN output
+        # promotes the carried state to f32, breaking the scan's carry typing
+        # when the carry is initialized in bf16
+        r = nn.sigmoid(nn.GroupNorm(num_groups=1, epsilon=1e-5, dtype=self.dtype)(r))
+        u = nn.sigmoid(nn.GroupNorm(num_groups=1, epsilon=1e-5, dtype=self.dtype)(u))
         o = FastConv(self.hidden, k, use_bias=True, dtype=self.dtype)(
             jnp.concatenate([x, r * h], axis=-1)
         )
-        o = jnp.tanh(nn.GroupNorm(num_groups=1, epsilon=1e-5)(o))
+        o = jnp.tanh(nn.GroupNorm(num_groups=1, epsilon=1e-5, dtype=self.dtype)(o))
         out = u * h + (1 - u) * o
         return out, out
 
