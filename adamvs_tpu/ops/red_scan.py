@@ -1,0 +1,400 @@
+"""Fused recurrent-regularizer sweep: the whole AdaRedCell depth scan in one
+Pallas kernel.
+
+The XLA scan path (models/adamvs.py `_AdaRegIdxStreamCell`) pays, per depth
+slice, the scan's dynamic-slice of the fused volume, fold->NHWC relayouts, and
+conv-input layout copies around the small-channel GRU convs — measured 1.0+
+s/map of the 2.2 s/map total at bench shapes (BASELINE.md round-3 trace
+attribution). This kernel eliminates those classes: the depth recurrence runs
+entirely on-chip, one grid step per (depth, row-tile), with
+
+- GRU carries ping-ponged between two HBM buffers by depth parity (the grid is
+  sequential on a TPU core, so every tile of step d-1 completes before step d
+  reads its halo rows — cross-tile conv halos are exact, not approximated);
+- full-width row tiles: W rides the lane dimension whole, so halos exist only
+  in the (cheap, 8-granular) sublane dimension;
+- every 3x3 conv expressed as three [Cout, 3C] x [3C, R*W] MXU contractions
+  (one per kernel column, rows = vertically rolled copies of the operand);
+- stride-2 convs computed at full resolution then decimated; transposed convs
+  as 4 output-phase contractions interleaved by repeat+parity-select;
+- image-boundary exactness by masking every biased intermediate to the real
+  [h, w] extent (conv zero-padding semantics: out-of-image values are zero,
+  so taps of real pixels read exactly what XLA's SAME/torch padding reads).
+
+Cell math mirrors nn/costreg.py::AdaRedCell (reference CostRegNetRED /
+SliceCostRegNetRED, adamvs.py:157-195,400-424): conv->GRU(b)->stride-2
+conv->GRU(2b)->deconv+skip->head (2x deconv when ``up``). The kernel emits the
+regularized cost volume [D, B, oh, ow]; softmax depth regression over it
+happens outside (ops/regression.py math), where XLA fuses it into two
+bandwidth-bound passes.
+
+Gradients are not defined; the model uses this path for inference only (the
+training path keeps the exact XLA scan).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# full-res halo rows per side (>= total one-step receptive field ~8, and
+# 2x the half-res halo so the half-res windows stay 8-aligned)
+HALO = 16
+XPAD = 64  # lane pad per side of the padded spatial layout
+
+
+def spatial_dims(h: int, w: int, tile_rows: int) -> tuple[int, int, int]:
+    """(nty, Hps, Wps) of the padded channel-major spatial layout
+    [.., C, Hps, Wps]: rows = HALO + nty*tile_rows + HALO, lanes =
+    XPAD + w + XPAD rounded to 256 (so the half-res width is a 128
+    multiple and in-kernel [C, R, W] -> [C, R*W] reshapes are free)."""
+    nty = -(-h // tile_rows)
+    hps = HALO + nty * tile_rows + HALO
+    wps = -(-(w + 2 * XPAD) // 256) * 256
+    return nty, hps, wps
+
+
+def pick_tile_rows(w: int) -> int:
+    """Row-tile height: large tiles amortize the halo overcompute
+    ((TH+2*HALO)/TH), small tiles bound VMEM at large widths."""
+    _, _, wps = spatial_dims(8, w, 8)
+    return 128 if wps <= 1536 else 96
+
+
+def spatialize(vol: jnp.ndarray, tile_rows: int) -> jnp.ndarray:
+    """[D, B, h, w, C] -> padded channel-major [D, B, C, Hps, Wps] (tests /
+    non-fused producers; the fused sweep kernel writes this layout directly)."""
+    D, B, h, w, C = vol.shape
+    _, hps, wps = spatial_dims(h, w, tile_rows)
+    v = jnp.transpose(vol, (0, 1, 4, 2, 3))
+    return jnp.pad(
+        v, ((0, 0), (0, 0), (0, 0), (HALO, hps - h - HALO), (XPAD, wps - w - XPAD))
+    )
+
+
+def pack_red_params(params: dict, up: bool) -> dict:
+    """AdaRedCell flax params -> matmul-ready weight matrices.
+
+    3x3 convs: [3, Cout, 3*Cin] with W[dx, o, dy*Cin + ci] = k[dy, dx, ci, o]
+    (the kernel contracts one kernel-column dx at a time against a stack of
+    three vertically rolled operand copies).
+
+    Stride-2 transposed convs: [4, Cout, 4*Cin] phase matrices, phase
+    p = 2a + c producing out[2i+a, 2j+c]; tap slots ordered by input shift
+    (dy, dx) in [(0,0), (0,1), (1,0), (1,1)] (conv2d_transpose_shift
+    semantics: k=3, s=2, torch padding 1, output_padding 1 -> phase 0 reads
+    tap ky=1 at shift 0, phase 1 reads ky=0 at shift 0 and ky=2 at shift 1).
+    """
+
+    def w3(k):
+        co = k.shape[3]
+        return jnp.transpose(k, (1, 3, 0, 2)).reshape(3, co, 3 * k.shape[2])
+
+    def wdec(k):
+        ci, co = k.shape[2], k.shape[3]
+        out = jnp.zeros((4, co, 4 * ci), k.dtype)
+        taps = {0: [(1, 0)], 1: [(0, 0), (2, 1)]}
+        for a in (0, 1):
+            for c in (0, 1):
+                for ky, dy in taps[a]:
+                    for kx, dx in taps[c]:
+                        s = dy * 2 + dx
+                        out = out.at[2 * a + c, :, s * ci : (s + 1) * ci].set(
+                            k[ky, kx].T
+                        )
+        return out
+
+    def b2(v):
+        return v.reshape(-1, 1)
+
+    g1, n1 = params["ConvGRUCell_0"]["FastConv_0"], params["ConvGRUCell_0"]["FastConv_1"]
+    g2, n2 = params["ConvGRUCell_1"]["FastConv_0"], params["ConvGRUCell_1"]["FastConv_1"]
+    head = params["FastConvTranspose_1" if up else "FastConv_0"]
+    return {
+        "wc1": w3(params["ConvReLU_0"]["FastConv_0"]["kernel"]),
+        "wg1": w3(g1["kernel"]), "bg1": b2(g1["bias"]),
+        "wn1": w3(n1["kernel"]), "bn1": b2(n1["bias"]),
+        "wc2": w3(params["ConvReLU_1"]["FastConv_0"]["kernel"]),
+        "wg2": w3(g2["kernel"]), "bg2": b2(g2["bias"]),
+        "wn2": w3(n2["kernel"]), "bn2": b2(n2["bias"]),
+        "wu1": wdec(params["FastConvTranspose_0"]["kernel"]),
+        "bu1": b2(params["FastConvTranspose_0"]["bias"]),
+        "wh": (wdec if up else w3)(head["kernel"]),
+        "bh": b2(head["bias"]),
+    }
+
+
+def _roll(x, shift, axis):
+    """np.roll semantics; pltpu.roll rejects negative shifts."""
+    if shift < 0:
+        shift += x.shape[axis]
+    return pltpu.roll(x, shift, axis=axis)
+
+
+def _conv3(x, w3, dt):
+    """x [C, R, W] (W % 128 == 0), w3 [3, Cout, 3C] -> f32 [Cout, R*W].
+
+    Tap (dy, dx) reads x[r-1+dy, p-1+dx]; rolls wrap, corrupting only window
+    edge rows/lanes, which stay inside the halo / lane-pad margins."""
+    C, R, W = x.shape
+    acc = None
+    for dx in range(3):
+        xr = x if dx == 1 else _roll(x, 1 - dx, axis=2)
+        stack = jnp.concatenate(
+            [_roll(xr, 1, axis=1), xr, _roll(xr, -1, axis=1)], axis=0
+        ).reshape(3 * C, R * W)
+        t = jax.lax.dot_general(
+            w3[dx].astype(dt), stack,
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        )
+        acc = t if acc is None else acc + t
+    return acc
+
+
+def _shift4(x):
+    """[x, x<<1 lane, x<<1 row, x<<1 both] stacked -> [4C, R, W] (deconv tap
+    shifts (0,0),(0,1),(1,0),(1,1))."""
+    sx = _roll(x, -1, axis=2)
+    return jnp.concatenate(
+        [x, sx, _roll(x, -1, axis=1), _roll(sx, -1, axis=1)], axis=0
+    )
+
+
+def _dec2(x):
+    """Even rows and lanes: [C, R, W] -> [C, R//2, W//2]."""
+    return x[:, ::2, ::2]
+
+
+def _ilv_lanes(a, b):
+    """Interleave along lanes: out[.., 2j] = a[.., j], out[.., 2j+1] = b[.., j]."""
+    C, R, W = a.shape
+    return jnp.stack([a, b], axis=-1).reshape(C, R, 2 * W)
+
+
+def _ilv_rows(a, b):
+    C, R, W = a.shape
+    return jnp.stack([a, b], axis=2).reshape(C, 2 * R, W)
+
+
+def _deconv2x(x, w4, bias, dt):
+    """Stride-2 transposed conv: x [C, R, W] -> [Cout, 2R, 2W] (+bias), f32
+    accumulate, cast to dt."""
+    C, R, W = x.shape
+    co = w4.shape[1]
+    x4 = _shift4(x).reshape(4 * C, R * W)
+    ph = []
+    for p in range(4):
+        t = jax.lax.dot_general(
+            w4[p].astype(dt), x4,
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        )
+        ph.append((t + bias).astype(dt).reshape(co, R, W))
+    top = _ilv_lanes(ph[0], ph[1])
+    bot = _ilv_lanes(ph[2], ph[3])
+    return _ilv_rows(top, bot)
+
+
+def _red_scan_kernel(
+    vol_ref,  # HBM [D, B, Cin, Hps, Wps]
+    _h1a, _h2a,  # aliased inputs (read via the out refs)
+    wc1, wg1, bg1, wn1, bn1, wc2, wg2, bg2, wn2, bn2, wu1, bu1, wh, bh,
+    cost_ref,  # VMEM out block
+    h1_ref, h2_ref,  # HBM carry ping-pong [2, B, ch, rows, lanes]
+    vwin, h1win, h2win, h1out, h2out, sems,
+    *, cin: int, base: int, up: bool, th: int, h: int, w: int,
+    hps: int, wps: int, dt,
+):
+    b_i = pl.program_id(0)
+    d = pl.program_id(1)
+    ty = pl.program_id(2)
+    bch = base
+    R = th + 2 * HALO
+    Rh = th // 2 + HALO
+    wph = wps // 2
+    pr = jax.lax.rem(d, 2)
+    pw = 1 - pr
+    row0 = ty * th
+    rowh0 = ty * (th // 2)
+
+    cp_v = pltpu.make_async_copy(
+        vol_ref.at[d, b_i, :, pl.ds(row0, R), :], vwin, sems.at[0]
+    )
+    cp_h1 = pltpu.make_async_copy(
+        h1_ref.at[pr, b_i, :, pl.ds(row0, R), :], h1win, sems.at[1]
+    )
+    cp_h2 = pltpu.make_async_copy(
+        h2_ref.at[pr, b_i, :, pl.ds(rowh0, Rh), :], h2win, sems.at[2]
+    )
+    cp_v.start()
+    cp_h1.start()
+    cp_h2.start()
+
+    # in-image masks (global image row = row0 - HALO + r, col = lane - XPAD)
+    rr = jax.lax.broadcasted_iota(jnp.int32, (R, wps), 0) + (row0 - HALO)
+    cc = jax.lax.broadcasted_iota(jnp.int32, (R, wps), 1) - XPAD
+    mask = ((rr >= 0) & (rr < h) & (cc >= 0) & (cc < w)).astype(dt)[None]
+    rrh = jax.lax.broadcasted_iota(jnp.int32, (Rh, wph), 0) + (rowh0 - HALO // 2)
+    cch = jax.lax.broadcasted_iota(jnp.int32, (Rh, wph), 1) - XPAD // 2
+    maskh = (
+        (rrh >= 0) & (rrh < (h + 1) // 2) & (cch >= 0) & (cch < (w + 1) // 2)
+    ).astype(dt)[None]
+
+    cp_v.wait()
+    x = vwin[:].astype(dt) * mask
+    # mask every conv input: even bias-free outputs are nonzero in the ring
+    # just outside the image (taps reach inside), where XLA reads zero padding
+    c1 = jnp.maximum(_conv3(x, wc1, dt), 0.0).astype(dt).reshape(bch, R, wps)
+    c1 = c1 * mask
+
+    cp_h1.wait()
+    h1 = h1win[:]
+    g = _conv3(jnp.concatenate([c1, h1], axis=0), wg1, dt)
+    g = (g + bg1[:]).astype(dt)
+    r = jax.nn.sigmoid(g[:bch]).reshape(bch, R, wps)
+    u = jax.nn.sigmoid(g[bch:]).reshape(bch, R, wps)
+    cand = _conv3(jnp.concatenate([c1, r * h1], axis=0), wn1, dt)
+    cand = jnp.tanh((cand + bn1[:]).astype(dt)).reshape(bch, R, wps)
+    h1n = (u * h1 + (1.0 - u) * cand) * mask  # mask: biased, leaks otherwise
+    h1out[:] = h1n[:, HALO : HALO + th, :]
+    wr_h1 = pltpu.make_async_copy(
+        h1out, h1_ref.at[pw, b_i, :, pl.ds(HALO + row0, th), :], sems.at[3]
+    )
+    wr_h1.start()
+
+    # stride-2 down conv at full res, then decimate even rows/lanes
+    c2f = jnp.maximum(_conv3(h1n, wc2, dt), 0.0).astype(dt).reshape(2 * bch, R, wps)
+    # even rows/lanes; rows 0..Rh align with the half-res window exactly
+    # (full row r <-> image y = row0+r-HALO, half q <-> y/2 = row0/2+q-HALO/2)
+    c2 = _dec2(c2f)[:, :Rh, :] * maskh  # [2b, Rh, wph]
+
+    cp_h2.wait()
+    h2 = h2win[:]
+    g2 = _conv3(jnp.concatenate([c2, h2], axis=0), wg2, dt)
+    g2 = (g2 + bg2[:]).astype(dt)
+    r2g = jax.nn.sigmoid(g2[: 2 * bch]).reshape(2 * bch, Rh, wph)
+    u2g = jax.nn.sigmoid(g2[2 * bch :]).reshape(2 * bch, Rh, wph)
+    cand2 = _conv3(jnp.concatenate([c2, r2g * h2], axis=0), wn2, dt)
+    cand2 = jnp.tanh((cand2 + bn2[:]).astype(dt)).reshape(2 * bch, Rh, wph)
+    h2n = (u2g * h2 + (1.0 - u2g) * cand2) * maskh
+    h2out[:] = h2n[:, HALO // 2 : HALO // 2 + th // 2, :]
+    wr_h2 = pltpu.make_async_copy(
+        h2out, h2_ref.at[pw, b_i, :, pl.ds(HALO // 2 + rowh0, th // 2), :], sems.at[4]
+    )
+    wr_h2.start()
+
+    # up path: u1 = relu(deconv(r2) + r1); deconv output rows 2q+a align with
+    # the full-res window exactly (half window row 0 <-> full window row 0)
+    u1 = _deconv2x(h2n, wu1, bu1[:], dt)  # [b, 2*Rh, wps]
+    u1 = jnp.maximum(u1[:, :R, :] + h1n, 0.0) * mask
+
+    if up:
+        out = _deconv2x(u1, wh, bh[:], dt)  # [1, 2R, 2wps]
+        cost_ref[0, 0] = out[0, 2 * HALO : 2 * HALO + 2 * th, :]
+    else:
+        out = (_conv3(u1, wh, dt) + bh[:]).astype(dt).reshape(1, R, wps)
+        cost_ref[0, 0] = out[0, HALO : HALO + th, :]
+
+    wr_h1.wait()
+    wr_h2.wait()
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cin", "base", "up", "h", "w", "tile_rows", "interpret"),
+)
+def ada_red_scan(
+    packed: dict,
+    vol_sp: jnp.ndarray,  # [D, B, Cin, Hps, Wps] padded channel-major
+    cin: int,
+    base: int,
+    up: bool,
+    h: int,
+    w: int,
+    tile_rows: int = 0,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Run the AdaRedCell recurrence over all D slices -> regularized cost
+    volume [D, B, oh, ow] (oh = 2h when ``up``), model dtype."""
+    D, B = vol_sp.shape[:2]
+    dt = vol_sp.dtype
+    th = tile_rows or pick_tile_rows(w)
+    nty, hps, wps = spatial_dims(h, w, th)
+    assert vol_sp.shape[2:] == (cin, hps, wps), (vol_sp.shape, (cin, hps, wps))
+    R = th + 2 * HALO
+    Rh = th // 2 + HALO
+    wph = wps // 2
+    hpsh = HALO // 2 + nty * (th // 2) + HALO // 2
+    bch = base
+
+    h1z = jnp.zeros((2, B, bch, hps, wps), dt)
+    h2z = jnp.zeros((2, B, 2 * bch, hpsh, wph), dt)
+    if up:
+        out_rows, out_cols = 2 * nty * th, 2 * wps
+        cost_block = (1, 1, 2 * th, 2 * wps)
+        cost_idx = lambda b, d, ty: (d, b, ty, 0)
+    else:
+        out_rows, out_cols = nty * th, wps
+        cost_block = (1, 1, th, wps)
+        cost_idx = lambda b, d, ty: (d, b, ty, 0)
+
+    worder = ("wc1", "wg1", "bg1", "wn1", "bn1", "wc2", "wg2", "bg2",
+              "wn2", "bn2", "wu1", "bu1", "wh", "bh")
+    wvals = [packed[k].astype(jnp.float32) for k in worder]
+
+    hbm = pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)
+    def _const_spec(v):
+        n = v.ndim
+        return pl.BlockSpec(
+            v.shape, lambda *_: (0,) * n, memory_space=pltpu.MemorySpace.VMEM
+        )
+
+    wspecs = [_const_spec(v) for v in wvals]
+
+    cost, _, _ = pl.pallas_call(
+        functools.partial(
+            _red_scan_kernel, cin=cin, base=bch, up=up, th=th, h=h, w=w,
+            hps=hps, wps=wps, dt=dt,
+        ),
+        grid=(B, D, nty),
+        in_specs=[hbm, hbm, hbm] + wspecs,
+        out_specs=[
+            pl.BlockSpec(cost_block, cost_idx),
+            hbm,
+            hbm,
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((D, B, out_rows, out_cols), dt),
+            jax.ShapeDtypeStruct(h1z.shape, dt),
+            jax.ShapeDtypeStruct(h2z.shape, dt),
+        ],
+        input_output_aliases={1: 1, 2: 2},
+        scratch_shapes=[
+            pltpu.VMEM((cin, R, wps), dt),
+            pltpu.VMEM((bch, R, wps), dt),
+            pltpu.VMEM((2 * bch, Rh, wph), dt),
+            pltpu.VMEM((bch, th, wps), dt),
+            pltpu.VMEM((2 * bch, th // 2, wph), dt),
+            pltpu.SemaphoreType.DMA((5,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=B * D * nty * 2 * (R * wps) * (
+                3 * cin * bch + 3 * 2 * bch * 3 * bch + 2 * bch * 3 * bch
+                + (3 * 4 * bch * 4 * bch + 3 * 4 * bch * 2 * bch) // 4
+                + 2 * bch * bch + 9 * bch * (4 if up else 1)
+            ),
+            bytes_accessed=B * D * nty * (cin + 2 * bch) * R * wps * dt.itemsize,
+            transcendentals=B * D * nty * R * wps * 3 * bch,
+        ),
+        interpret=interpret,
+    )(vol_sp, h1z, h2z, *wvals)
+
+    if up:
+        return cost[:, :, : 2 * h, 2 * XPAD : 2 * XPAD + 2 * w]
+    return cost[:, :, :h, XPAD : XPAD + w]
