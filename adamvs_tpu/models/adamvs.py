@@ -48,6 +48,12 @@ from ..ops.regression import (
     resize_bilinear,
 )
 from ..ops.sampling import uniform_depth_samples, window_min_and_interval
+from ..ops.red_scan import (
+    ada_red_scan,
+    pack_red_params,
+    pick_tile_rows,
+    refold_spatial,
+)
 from ..ops.sweep_fuse import (
     corr_sweep_volume,
     fold_grid,
@@ -63,6 +69,20 @@ from ..ops.warp_pallas2 import merge_source, plane_sweep_warp_pallas2
 # reference up-flags by stage index (adamvs.py:340,562-565): stages 1 and 2
 # upsample their regularized cost 2x, stage 3 does not.
 _UP_BY_STAGE = (True, True, False)
+
+
+def pack_reg_params(model, variables) -> tuple:
+    """Pack every stage's recurrent-regularizer flax params into the
+    matmul-ready matrices the fused Pallas scan kernel (ops/red_scan.py)
+    contracts against. Computed once per checkpoint, passed into
+    ``AdaMVS.__call__(packed_reg=...)`` — the packed tree is a pytree of small
+    arrays, so it jits as ordinary inputs."""
+    return tuple(
+        pack_red_params(
+            variables["params"][f"reg_fuse{i + 1}"]["cell"], _UP_BY_STAGE[i]
+        )
+        for i in range(len(model.ndepths))
+    )
 
 
 def parse_depth_values(depth_values: jnp.ndarray, num_depth: int | None):
@@ -353,6 +373,11 @@ class AdaMVS(nn.Module):
     sweep_impl: str = "scan"
     fuse_bands: tuple[int, int] = (12, 128)
     fuse_d_chunk: int = 16
+    # "scan": recurrent regularizer as an XLA nn.scan over depth slices.
+    # "pallas": the whole depth recurrence in one Pallas kernel per stage
+    # (ops/red_scan.py) — inference-only (no VJP), requires sweep_impl
+    # "fused"/"fusedf32" and ``packed_reg`` passed to __call__.
+    reg_impl: str = "scan"
     # depth slices per regularizer-scan step. Measured on v5e at bench shapes:
     # K=4 is ~1% slower than K=1 (the while-step costs are data-proportional
     # layout copies, not fixed overhead), so default 1; the knob remains for
@@ -374,6 +399,7 @@ class AdaMVS(nn.Module):
         train: bool = False,
         num_depth: int | None = None,
         features: dict[str, jnp.ndarray] | None = None,
+        packed_reg: tuple | None = None,
     ) -> dict:
         """``features`` (optional): precomputed pyramid — either
         {"stageK": [B,V,h,w,C]} or {"stageK": (ref [B,h,w,C], srcs [V-1,B,H,W,C])}.
@@ -428,6 +454,12 @@ class AdaMVS(nn.Module):
             and not train
         )
         fuse_mm = jnp.float32 if self.sweep_impl == "fusedf32" else jnp.bfloat16
+        # Pallas regularizer scan: inference-only, needs the packed param
+        # matrices (absent at init, so init always creates the flax cell
+        # params through the scan path — same checkpoint serves both).
+        use_pallas_reg = (
+            use_fused and self.reg_impl == "pallas" and packed_reg is not None
+        )
 
         outputs: dict[str, Any] = {}
         prev_depth = None
@@ -517,24 +549,45 @@ class AdaMVS(nn.Module):
                         num_depth=D, d_chunk=self.fuse_d_chunk,
                         out_dtype=self.dtype or jnp.float32, folded=True,
                     )  # [D,B*T,C,P]
-                cell = scan_idx(
-                    self.cr_base[si], up, fgrid, dtype=self.dtype,
-                    name=f"reg_fuse{si + 1}",
-                )
-                K = self.fuse_scan_block
-                if K <= 0 or D % K:
-                    K = 1
-                d_idx = jnp.arange(D, dtype=jnp.float32).reshape(D // K, K)
-                fused_all = fused_all.reshape((D // K, K) + fused_all.shape[1:])
                 if up:
                     lo_acc = resize_bilinear(lo, out_h, out_w)
                     step_acc = resize_bilinear(step, out_h, out_w)
                 else:
                     lo_acc, step_acc = lo, step
-                with jax.named_scope(f"{key}_sweep_fusedreg"):
-                    (red_carry, acc), _ = cell(
-                        (red_carry, acc), fused_all, d_idx, lo_acc, step_acc
+                if use_pallas_reg:
+                    th = pick_tile_rows(w)
+                    vol_sp = refold_spatial(fused_all, fgrid, tile_rows=th)
+                    with jax.named_scope(f"{key}_sweep_redscan"):
+                        cost = ada_red_scan(
+                            packed_reg[si], vol_sp, ref_feat.shape[-1],
+                            self.cr_base[si], up, h, w, tile_rows=th,
+                        )  # [D, B, out_h, out_w]
+                    # full-softmax regression over the materialized reg-cost
+                    # volume == the scan path's online softmax exactly; XLA
+                    # fuses it into two bandwidth-bound passes over ``cost``
+                    c32 = cost.astype(jnp.float32)
+                    d_idx = jnp.arange(D, dtype=jnp.float32)
+                    m = jnp.max(c32, axis=0)
+                    e = jnp.exp(c32 - m)
+                    s = jnp.sum(e, axis=0) + 1e-10
+                    hyp = lo_acc[None] + d_idx[:, None, None, None] * step_acc[None]
+                    depth = jnp.sum(e * hyp, axis=0) / s
+                    conf = jnp.max(e, axis=0) / s
+                else:
+                    cell = scan_idx(
+                        self.cr_base[si], up, fgrid, dtype=self.dtype,
+                        name=f"reg_fuse{si + 1}",
                     )
+                    K = self.fuse_scan_block
+                    if K <= 0 or D % K:
+                        K = 1
+                    d_idx = jnp.arange(D, dtype=jnp.float32).reshape(D // K, K)
+                    fused_all = fused_all.reshape((D // K, K) + fused_all.shape[1:])
+                    with jax.named_scope(f"{key}_sweep_fusedreg"):
+                        (red_carry, acc), _ = cell(
+                            (red_carry, acc), fused_all, d_idx, lo_acc, step_acc
+                        )
+                    depth, conf = online_softmax_finalize(acc)
             elif self.depth_mesh is not None:
                 fused_all, hyp_acc_all = _depth_sharded_fuse(
                     self.depth_mesh, self.depth_axis,
@@ -547,6 +600,7 @@ class AdaMVS(nn.Module):
                 )
                 with jax.named_scope(f"{key}_sweep_dsharded"):
                     (red_carry, acc), _ = cell((red_carry, acc), fused_all, hyp_acc_all)
+                depth, conf = online_softmax_finalize(acc)
             else:
                 cell = scan_cell(
                     self.cr_base[si], up, self.warp_impl, self.warp_bands,
@@ -557,7 +611,7 @@ class AdaMVS(nn.Module):
                     (red_carry, acc), _ = cell(
                         (red_carry, acc), d_idx, ref_feat, src_feats_w, src_projs, ref_proj, weights, lo, step
                     )
-            depth, conf = online_softmax_finalize(acc)
+                depth, conf = online_softmax_finalize(acc)
 
             outputs[key] = {
                 "depth": depth,

@@ -11,6 +11,9 @@ entirely on-chip, one grid step per (depth, row-tile), with
 - GRU carries ping-ponged between two HBM buffers by depth parity (the grid is
   sequential on a TPU core, so every tile of step d-1 completes before step d
   reads its halo rows — cross-tile conv halos are exact, not approximated);
+  d == 0 uses in-kernel zero states and zeroes the out-of-image margin rows
+  once, so the carry buffers need no host-side initialization (works on raw
+  uninitialized HBM and under ``force_tpu_interpret_mode``'s NaN fill);
 - full-width row tiles: W rides the lane dimension whole, so halos exist only
   in the (cheap, 8-granular) sublane dimension;
 - every 3x3 conv expressed as three [Cout, 3C] x [3C, R*W] MXU contractions
@@ -73,6 +76,32 @@ def spatialize(vol: jnp.ndarray, tile_rows: int) -> jnp.ndarray:
     v = jnp.transpose(vol, (0, 1, 4, 2, 3))
     return jnp.pad(
         v, ((0, 0), (0, 0), (0, 0), (HALO, hps - h - HALO), (XPAD, wps - w - XPAD))
+    )
+
+
+def refold_spatial(
+    folded: jnp.ndarray,  # [D, B*T, C, P] (ops/sweep_fuse.py folded=True)
+    grid: tuple,  # fold_grid(B, h, w): (B, nty, ntx, h, w)
+    tile_h: int = 8,
+    tile_w: int = 64,
+    tile_rows: int = 0,
+) -> jnp.ndarray:
+    """Fused-sweep folded volume -> the padded channel-major [D, B, C, Hps,
+    Wps] layout ``ada_red_scan`` reads: ONE bulk relayout per stage instead of
+    a per-slice unfold+transpose inside the depth scan. Tile-pad pixels
+    (rows >= h, cols >= w) carry sweep-kernel zeros; the scan kernel masks to
+    the true [h, w] extent regardless."""
+    B, nty_f, ntx_f, h, w = grid
+    D, _, C, _ = folded.shape
+    th = tile_rows or pick_tile_rows(w)
+    _, hps, wps = spatial_dims(h, w, th)
+    x = folded.reshape(D, B, nty_f, ntx_f, C, tile_h, tile_w)
+    x = x.transpose(0, 1, 4, 2, 5, 3, 6)
+    hp, wp = nty_f * tile_h, ntx_f * tile_w
+    x = x.reshape(D, B, C, hp, wp)
+    return jnp.pad(
+        x,
+        ((0, 0), (0, 0), (0, 0), (HALO, hps - HALO - hp), (XPAD, wps - XPAD - wp)),
     )
 
 
@@ -200,7 +229,6 @@ def _deconv2x(x, w4, bias, dt):
 
 def _red_scan_kernel(
     vol_ref,  # HBM [D, B, Cin, Hps, Wps]
-    _h1a, _h2a,  # aliased inputs (read via the out refs)
     wc1, wg1, bg1, wn1, bn1, wc2, wg2, bg2, wn2, bn2, wu1, bu1, wh, bh,
     cost_ref,  # VMEM out block
     h1_ref, h2_ref,  # HBM carry ping-pong [2, B, ch, rows, lanes]
@@ -211,6 +239,7 @@ def _red_scan_kernel(
     b_i = pl.program_id(0)
     d = pl.program_id(1)
     ty = pl.program_id(2)
+    nty = pl.num_programs(2)
     bch = base
     R = th + 2 * HALO
     Rh = th // 2 + HALO
@@ -230,8 +259,44 @@ def _red_scan_kernel(
         h2_ref.at[pr, b_i, :, pl.ds(rowh0, Rh), :], h2win, sems.at[2]
     )
     cp_v.start()
-    cp_h1.start()
-    cp_h2.start()
+
+    # d == 0: the carry buffers are uninitialized HBM — use zero states
+    # (reference zero-init, adamvs.py:175-176) instead of reading, and zero
+    # the never-again-written halo margin rows of BOTH parities once (their
+    # exact value for out-of-image rows is 0 for every d, so one write
+    # suffices; the grid is sequential, so step (b, 0, 0) completes before
+    # any (b, 1, ty) reads the margins).
+    @pl.when(d > 0)
+    def _():
+        cp_h1.start()
+        cp_h2.start()
+
+    @pl.when((d == 0) & (ty == 0))
+    def _():
+        h1out[:] = jnp.zeros_like(h1out)
+        h2out[:] = jnp.zeros_like(h2out)
+        for par in (0, 1):
+            for r0 in (0, HALO + nty * th):
+                cp = pltpu.make_async_copy(
+                    h1out.at[:, :HALO, :],
+                    h1_ref.at[par, b_i, :, pl.ds(r0, HALO), :],
+                    sems.at[3],
+                )
+                cp.start()
+                cp.wait()
+            for r0 in (0, HALO // 2 + nty * (th // 2)):
+                cp = pltpu.make_async_copy(
+                    h2out.at[:, : HALO // 2, :],
+                    h2_ref.at[par, b_i, :, pl.ds(r0, HALO // 2), :],
+                    sems.at[3],
+                )
+                cp.start()
+                cp.wait()
+
+    @pl.when(d == 0)
+    def _():
+        h1win[:] = jnp.zeros_like(h1win)
+        h2win[:] = jnp.zeros_like(h2win)
 
     # in-image masks (global image row = row0 - HALO + r, col = lane - XPAD)
     rr = jax.lax.broadcasted_iota(jnp.int32, (R, wps), 0) + (row0 - HALO)
@@ -250,7 +315,10 @@ def _red_scan_kernel(
     c1 = jnp.maximum(_conv3(x, wc1, dt), 0.0).astype(dt).reshape(bch, R, wps)
     c1 = c1 * mask
 
-    cp_h1.wait()
+    @pl.when(d > 0)
+    def _():
+        cp_h1.wait()
+
     h1 = h1win[:]
     g = _conv3(jnp.concatenate([c1, h1], axis=0), wg1, dt)
     g = (g + bg1[:]).astype(dt)
@@ -271,7 +339,10 @@ def _red_scan_kernel(
     # (full row r <-> image y = row0+r-HALO, half q <-> y/2 = row0/2+q-HALO/2)
     c2 = _dec2(c2f)[:, :Rh, :] * maskh  # [2b, Rh, wph]
 
-    cp_h2.wait()
+    @pl.when(d > 0)
+    def _():
+        cp_h2.wait()
+
     h2 = h2win[:]
     g2 = _conv3(jnp.concatenate([c2, h2], axis=0), wg2, dt)
     g2 = (g2 + bg2[:]).astype(dt)
@@ -322,6 +393,7 @@ def ada_red_scan(
     D, B = vol_sp.shape[:2]
     dt = vol_sp.dtype
     th = tile_rows or pick_tile_rows(w)
+    assert th >= HALO and th % 8 == 0, th  # margin writes source from h1out
     nty, hps, wps = spatial_dims(h, w, th)
     assert vol_sp.shape[2:] == (cin, hps, wps), (vol_sp.shape, (cin, hps, wps))
     R = th + 2 * HALO
@@ -330,8 +402,6 @@ def ada_red_scan(
     hpsh = HALO // 2 + nty * (th // 2) + HALO // 2
     bch = base
 
-    h1z = jnp.zeros((2, B, bch, hps, wps), dt)
-    h2z = jnp.zeros((2, B, 2 * bch, hpsh, wph), dt)
     if up:
         out_rows, out_cols = 2 * nty * th, 2 * wps
         cost_block = (1, 1, 2 * th, 2 * wps)
@@ -360,7 +430,7 @@ def ada_red_scan(
             hps=hps, wps=wps, dt=dt,
         ),
         grid=(B, D, nty),
-        in_specs=[hbm, hbm, hbm] + wspecs,
+        in_specs=[hbm] + wspecs,
         out_specs=[
             pl.BlockSpec(cost_block, cost_idx),
             hbm,
@@ -368,10 +438,9 @@ def ada_red_scan(
         ],
         out_shape=[
             jax.ShapeDtypeStruct((D, B, out_rows, out_cols), dt),
-            jax.ShapeDtypeStruct(h1z.shape, dt),
-            jax.ShapeDtypeStruct(h2z.shape, dt),
+            jax.ShapeDtypeStruct((2, B, bch, hps, wps), dt),
+            jax.ShapeDtypeStruct((2, B, 2 * bch, hpsh, wph), dt),
         ],
-        input_output_aliases={1: 1, 2: 2},
         scratch_shapes=[
             pltpu.VMEM((cin, R, wps), dt),
             pltpu.VMEM((bch, R, wps), dt),
@@ -393,7 +462,7 @@ def ada_red_scan(
             transcendentals=B * D * nty * R * wps * 3 * bch,
         ),
         interpret=interpret,
-    )(vol_sp, h1z, h2z, *wvals)
+    )(vol_sp, *wvals)
 
     if up:
         return cost[:, :, : 2 * h, 2 * XPAD : 2 * XPAD + 2 * w]

@@ -78,7 +78,7 @@ def make_inputs(height, width, views, batch):
 
 def run_bench(height, width, views, numdepth, iters, model_name, warmup=1,
               warp_impl="gather", dtype=None, batch=1, bands=None, remat=True,
-              sweep_impl="scan", fuse_d_chunk=16):
+              sweep_impl="scan", fuse_d_chunk=16, reg_impl="scan"):
     import jax
     import jax.numpy as jnp
 
@@ -86,6 +86,8 @@ def run_bench(height, width, views, numdepth, iters, model_name, warmup=1,
 
     kw = {"warp_impl": warp_impl, "use_remat": remat,
           "sweep_impl": sweep_impl, "fuse_d_chunk": fuse_d_chunk}
+    if model_name == "adamvs":
+        kw["reg_impl"] = reg_impl
     if bands is not None:
         kw["warp_bands"] = tuple(bands)
     if dtype == "bf16":
@@ -100,9 +102,16 @@ def run_bench(height, width, views, numdepth, iters, model_name, warmup=1,
         projs, dv, num_depth=numdepth,
     )
 
+    apply_kw = {}
+    if kw.get("reg_impl") == "pallas":
+        from adamvs_tpu.models.adamvs import pack_reg_params
+
+        apply_kw["packed_reg"] = pack_reg_params(model, variables)
+
     @jax.jit
     def fwd(variables, imgs, projs, dv):
-        out = model.apply(variables, imgs, projs, dv, train=False, num_depth=numdepth)
+        out = model.apply(variables, imgs, projs, dv, train=False,
+                          num_depth=numdepth, **apply_kw)
         return out["depth"], out["photometric_confidence"]
 
     def sync(x):
@@ -252,6 +261,9 @@ def main():
                     help="fused: one Pallas plane-sweep call per stage "
                          "instead of per-depth warps in-scan")
     ap.add_argument("--fuse_d_chunk", type=int, default=16)
+    ap.add_argument("--reg_impl", default="scan", choices=["scan", "pallas"],
+                    help="pallas: whole recurrent-regularizer depth scan in "
+                         "one Pallas kernel per stage (adamvs + fused sweep)")
     ap.add_argument("--dtype", default="bf16", choices=["f32", "bf16"])
     ap.add_argument("--batch", type=int, default=1,
                     help="frames per step; amortizes the serial depth recurrence")
@@ -278,7 +290,7 @@ def main():
         h, w, 5, nd, args.iters, args.model,
         warp_impl=args.warp_impl, dtype=args.dtype, batch=args.batch, bands=bands,
         remat=args.remat == "on", sweep_impl=args.sweep_impl,
-        fuse_d_chunk=args.fuse_d_chunk,
+        fuse_d_chunk=args.fuse_d_chunk, reg_impl=args.reg_impl,
     )
     maps_per_s = args.batch / sec_per_batch
     result = {
@@ -289,7 +301,8 @@ def main():
         "vs_baseline_strict": round(maps_per_s / REF_GPU_DEPTH_MAPS_PER_S_STRICT, 3),
         "config": {
             "warp_impl": args.warp_impl, "sweep_impl": args.sweep_impl,
-            "dtype": args.dtype, "batch": args.batch, "remat": args.remat,
+            "reg_impl": args.reg_impl, "dtype": args.dtype,
+            "batch": args.batch, "remat": args.remat,
         },
     }
     if flops:
