@@ -46,6 +46,10 @@ def _add_model_flags(p: argparse.ArgumentParser):
     p.add_argument("--warp_impl", default="gather", choices=["gather", "banded", "pallas", "pallas2", "pallas2bf16"])
     p.add_argument("--sweep_impl", default="scan", choices=["scan", "fused", "fusedf32"],
                    help="fused: one-Pallas-call plane sweep per stage (adamvs predict path)")
+    p.add_argument("--reg_impl", default="scan", choices=["scan", "pallas"],
+                   help="pallas: whole recurrent-regularizer depth scan in one "
+                        "Pallas kernel per stage (adamvs inference, needs "
+                        "--sweep_impl fused)")
     p.add_argument("--compute_dtype", default="f32", choices=["f32", "bf16"])
     p.add_argument("--distributed", action="store_true",
                    help="initialize the multi-host JAX runtime (parallel/distributed.py)")
@@ -60,6 +64,7 @@ def _model_config(args) -> ModelConfig:
         share_cr=args.share_cr,
         warp_impl=args.warp_impl,
         sweep_impl=args.sweep_impl,
+        reg_impl=getattr(args, "reg_impl", "scan"),
         dtype=args.compute_dtype,
     )
 
@@ -104,6 +109,29 @@ def cmd_train(args):
 
     train_specs = build_sample_list(data.trainpath, data.set_name, data.view_num)
     test_specs = build_sample_list(data.testpath, data.set_name, data.view_num)
+
+    # SPMD data parallelism (the reference's one parallelism, as
+    # nn.DataParallel at train_whu.py:110): a (data,) mesh over local or
+    # pod-wide devices; each host loads a disjoint shard of the sample list
+    # and supplies its slice of the global batch (parallel/mesh.shard_batch).
+    mesh = None
+    n_hosts, host = jax.process_count(), jax.process_index()
+    if args.data_parallel != 1:
+        from .parallel import make_mesh
+
+        dp = args.data_parallel if args.data_parallel > 0 else None
+        mesh = make_mesh(data=dp, tile=1)
+        dp = mesh.shape["data"]
+        if data.batch_size % dp:
+            raise SystemExit(
+                f"--batch_size {data.batch_size} must be divisible by the "
+                f"data-parallel size {dp}")
+        if n_hosts > 1:
+            # per-host local batch; sample lists sharded below
+            data.batch_size //= n_hosts
+    if n_hosts > 1:
+        train_specs = train_specs[host::n_hosts]
+        test_specs = test_specs[host::n_hosts]
     steps_per_epoch = max(1, len(train_specs) // data.batch_size)
 
     model = mc.build()
@@ -116,6 +144,7 @@ def cmd_train(args):
     trainer = Trainer(
         model, model_loss(mc.model), state, tc.logdir, dlossw=tc.dlossw,
         num_stages=len(mc.ndepths), summary_freq=tc.summary_freq, save_freq=tc.save_freq,
+        mesh=mesh,
     )
     start_epoch = 0
     if tc.resume:
@@ -319,6 +348,9 @@ def build_parser() -> argparse.ArgumentParser:
     pt.add_argument("--seed", type=int, default=1)
     pt.add_argument("--batch_size", type=int, default=1)
     pt.add_argument("--num_workers", type=int, default=2)
+    pt.add_argument("--data_parallel", type=int, default=1,
+                    help="shard the (global) batch over this many devices "
+                         "(0 = all devices); SPMD analog of nn.DataParallel")
     pt.set_defaults(fn=cmd_train)
 
     pe = sub.add_parser("test")

@@ -37,6 +37,10 @@ class ModelConfig:
     # scan: per-depth warp inside the recurrent scan; fused/fusedf32: one
     # Pallas plane-sweep call per stage (adamvs only; ops/sweep_fuse.py)
     sweep_impl: str = "scan"
+    # scan: recurrent regularizer as an XLA scan over depth slices; pallas:
+    # the whole depth recurrence in one Pallas kernel per stage
+    # (ops/red_scan.py) — inference-only, requires sweep_impl fused.
+    reg_impl: str = "scan"
     dtype: str = "f32"  # f32 | bf16
 
     def build(self, **overrides):
@@ -52,6 +56,8 @@ class ModelConfig:
             warp_impl=self.warp_impl,
         )
         kwargs["sweep_impl"] = self.sweep_impl
+        if self.model == "adamvs":
+            kwargs["reg_impl"] = self.reg_impl
         if self.dtype == "bf16":
             kwargs["dtype"] = jnp.bfloat16
         if self.model == "msrednet":

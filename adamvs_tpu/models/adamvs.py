@@ -460,6 +460,22 @@ class AdaMVS(nn.Module):
         use_pallas_reg = (
             use_fused and self.reg_impl == "pallas" and packed_reg is not None
         )
+        # A model configured for the Pallas regularizer must not silently
+        # degrade to the scan path at inference (ADVICE r3): fail loudly on
+        # wiring mistakes. Init and training legitimately take the scan path.
+        if (
+            self.reg_impl == "pallas"
+            and not train
+            and not self.is_initializing()
+            and not use_pallas_reg
+        ):
+            raise ValueError(
+                "reg_impl='pallas' requires sweep_impl='fused'/'fusedf32', no "
+                "depth_mesh, and packed_reg=pack_reg_params(model, variables) "
+                f"passed to __call__ (got sweep_impl={self.sweep_impl!r}, "
+                f"depth_mesh={'set' if self.depth_mesh is not None else 'None'}, "
+                f"packed_reg={'set' if packed_reg is not None else 'None'})"
+            )
 
         outputs: dict[str, Any] = {}
         prev_depth = None

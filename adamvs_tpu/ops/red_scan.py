@@ -18,8 +18,16 @@ entirely on-chip, one grid step per (depth, row-tile), with
   in the (cheap, 8-granular) sublane dimension;
 - every 3x3 conv expressed as three [Cout, 3C] x [3C, R*W] MXU contractions
   (one per kernel column, rows = vertically rolled copies of the operand);
-- stride-2 convs computed at full resolution then decimated; transposed convs
-  as 4 output-phase contractions interleaved by repeat+parity-select;
+- the half-resolution level lives in a rows-compact / lanes-SPARSE layout:
+  rows are decimated by a (supported) sublane-merge reshape, but valid samples
+  stay at even lanes of the full-width lane dimension — Mosaic has no lane
+  compaction/interleave (strided slices don't lower; lane gathers miscompile),
+  so half-res conv taps are lane-rolls of +-2 and the up-deconv re-densifies
+  with parity-masked rolls instead of an interleave (2x redundant MXU work on
+  the 2b-channel level, zero relayout);
+- the 2x-upsampling head emits a lane-phase-split volume [D, B, 2, 2R, W]
+  (rows interleaved in-kernel via the supported sublane reshape); the final
+  [.., 2R, 2W] interleave is one XLA reshape outside the kernel;
 - image-boundary exactness by masking every biased intermediate to the real
   [h, w] extent (conv zero-padding semantics: out-of-image values are zero,
   so taps of real pixels read exactly what XLA's SAME/torch padding reads).
@@ -164,15 +172,17 @@ def _roll(x, shift, axis):
     return pltpu.roll(x, shift, axis=axis)
 
 
-def _conv3(x, w3, dt):
+def _conv3(x, w3, dt, lane_step: int = 1):
     """x [C, R, W] (W % 128 == 0), w3 [3, Cout, 3C] -> f32 [Cout, R*W].
 
-    Tap (dy, dx) reads x[r-1+dy, p-1+dx]; rolls wrap, corrupting only window
-    edge rows/lanes, which stay inside the halo / lane-pad margins."""
+    Tap (dy, dx) reads x[r-1+dy, p-(1-dx)*lane_step]; rolls wrap, corrupting
+    only window edge rows/lanes, which stay inside the halo / lane-pad
+    margins. ``lane_step=2`` is the lanes-sparse half-res form: valid samples
+    sit at even lanes, so a half-res column step is two lanes."""
     C, R, W = x.shape
     acc = None
     for dx in range(3):
-        xr = x if dx == 1 else _roll(x, 1 - dx, axis=2)
+        xr = x if dx == 1 else _roll(x, (1 - dx) * lane_step, axis=2)
         stack = jnp.concatenate(
             [_roll(xr, 1, axis=1), xr, _roll(xr, -1, axis=1)], axis=0
         ).reshape(3 * C, R * W)
@@ -184,37 +194,30 @@ def _conv3(x, w3, dt):
     return acc
 
 
-def _shift4(x):
-    """[x, x<<1 lane, x<<1 row, x<<1 both] stacked -> [4C, R, W] (deconv tap
-    shifts (0,0),(0,1),(1,0),(1,1))."""
-    sx = _roll(x, -1, axis=2)
-    return jnp.concatenate(
-        [x, sx, _roll(x, -1, axis=1), _roll(sx, -1, axis=1)], axis=0
-    )
-
-
-def _dec2(x):
-    """Even rows and lanes: [C, R, W] -> [C, R//2, W//2]."""
-    return x[:, ::2, ::2]
-
-
-def _ilv_lanes(a, b):
-    """Interleave along lanes: out[.., 2j] = a[.., j], out[.., 2j+1] = b[.., j]."""
-    C, R, W = a.shape
-    return jnp.stack([a, b], axis=-1).reshape(C, R, 2 * W)
+def _rows_dec2(x):
+    """Even rows: [C, R, W] -> [C, R//2, W] via the sublane-merge reshape
+    (row pair -> one double-width row; even row = first W lanes)."""
+    C, R, W = x.shape
+    return x.reshape(C, R // 2, 2 * W)[:, :, :W]
 
 
 def _ilv_rows(a, b):
+    """Row interleave via the inverse sublane-merge reshape: out[2q] = a[q],
+    out[2q+1] = b[q]."""
     C, R, W = a.shape
-    return jnp.stack([a, b], axis=2).reshape(C, 2 * R, W)
+    return jnp.concatenate([a, b], axis=2).reshape(C, 2 * R, W)
 
 
-def _deconv2x(x, w4, bias, dt):
-    """Stride-2 transposed conv: x [C, R, W] -> [Cout, 2R, 2W] (+bias), f32
-    accumulate, cast to dt."""
-    C, R, W = x.shape
-    co = w4.shape[1]
-    x4 = _shift4(x).reshape(4 * C, R * W)
+def _lane_parity_masks(shape, dt):
+    """(even, odd) lane masks of [R, W] broadcast over channels."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    even = (lane % 2 == 0).astype(dt)[None]
+    return even, 1.0 - even
+
+
+def _phase_mm(x4, w4, bias, dt, co, R, W):
+    """The 4 output-phase contractions of a stride-2 transposed conv:
+    x4 [4C, R*W] tap stack -> list of 4 [co, R, W] phase results."""
     ph = []
     for p in range(4):
         t = jax.lax.dot_general(
@@ -222,9 +225,43 @@ def _deconv2x(x, w4, bias, dt):
             (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
         )
         ph.append((t + bias).astype(dt).reshape(co, R, W))
-    top = _ilv_lanes(ph[0], ph[1])
-    bot = _ilv_lanes(ph[2], ph[3])
+    return ph
+
+
+def _deconv_half_to_full(x, w4, bias, dt):
+    """Stride-2 transposed conv from the rows-compact / lanes-sparse half-res
+    layout back to dense full res: x [C, Rh, W] (valid at even lanes) ->
+    [co, 2*Rh, W] dense. Tap shifts: one compact row = one half-res row,
+    two lanes = one half-res column. Phase p = 2a + c writes out[2i+a, .]:
+    c = 0 lands on even lanes where the phase result already sits; c = 1 is a
+    +1 lane roll onto odd lanes — parity-masked adds replace the (unsupported)
+    lane interleave."""
+    C, Rh, W = x.shape
+    co = w4.shape[1]
+    sx = _roll(x, -2, axis=2)
+    x4 = jnp.concatenate(
+        [x, sx, _roll(x, -1, axis=1), _roll(sx, -1, axis=1)], axis=0
+    ).reshape(4 * C, Rh * W)
+    ph = _phase_mm(x4, w4, bias, dt, co, Rh, W)
+    even, odd = _lane_parity_masks((Rh, W), dt)
+    top = ph[0] * even + _roll(ph[1], 1, axis=2) * odd
+    bot = ph[2] * even + _roll(ph[3], 1, axis=2) * odd
     return _ilv_rows(top, bot)
+
+
+def _deconv_up_phases(x, w4, bias, dt):
+    """Stride-2 transposed conv from dense full res to 2x, lane-phase-split:
+    x [C, R, W] -> (c0, c1), each [co, 2R, W], where the true output is
+    out[2i+a, 2j+c] = (c_c)[2i+a, j] — rows interleaved in-kernel, the lane
+    interleave deferred to one XLA reshape outside."""
+    C, R, W = x.shape
+    co = w4.shape[1]
+    sx = _roll(x, -1, axis=2)
+    x4 = jnp.concatenate(
+        [x, sx, _roll(x, -1, axis=1), _roll(sx, -1, axis=1)], axis=0
+    ).reshape(4 * C, R * W)
+    ph = _phase_mm(x4, w4, bias, dt, co, R, W)
+    return _ilv_rows(ph[0], ph[2]), _ilv_rows(ph[1], ph[3])
 
 
 def _red_scan_kernel(
@@ -243,7 +280,6 @@ def _red_scan_kernel(
     bch = base
     R = th + 2 * HALO
     Rh = th // 2 + HALO
-    wph = wps // 2
     pr = jax.lax.rem(d, 2)
     pw = 1 - pr
     row0 = ty * th
@@ -298,14 +334,18 @@ def _red_scan_kernel(
         h1win[:] = jnp.zeros_like(h1win)
         h2win[:] = jnp.zeros_like(h2win)
 
-    # in-image masks (global image row = row0 - HALO + r, col = lane - XPAD)
+    # in-image masks (global image row = row0 - HALO + r, col = lane - XPAD).
+    # Half-res level: rows compact (half-row Y = rowh0 - HALO/2 + q), lanes
+    # sparse (half-col j at lane XPAD + 2j) — valid iff the lane's image col
+    # is even and in [0, w).
     rr = jax.lax.broadcasted_iota(jnp.int32, (R, wps), 0) + (row0 - HALO)
     cc = jax.lax.broadcasted_iota(jnp.int32, (R, wps), 1) - XPAD
     mask = ((rr >= 0) & (rr < h) & (cc >= 0) & (cc < w)).astype(dt)[None]
-    rrh = jax.lax.broadcasted_iota(jnp.int32, (Rh, wph), 0) + (rowh0 - HALO // 2)
-    cch = jax.lax.broadcasted_iota(jnp.int32, (Rh, wph), 1) - XPAD // 2
+    rrh = jax.lax.broadcasted_iota(jnp.int32, (Rh, wps), 0) + (rowh0 - HALO // 2)
+    cch = jax.lax.broadcasted_iota(jnp.int32, (Rh, wps), 1) - XPAD
     maskh = (
-        (rrh >= 0) & (rrh < (h + 1) // 2) & (cch >= 0) & (cch < (w + 1) // 2)
+        (rrh >= 0) & (rrh < (h + 1) // 2)
+        & (cch >= 0) & (cch < w) & (cch % 2 == 0)
     ).astype(dt)[None]
 
     cp_v.wait()
@@ -333,24 +373,26 @@ def _red_scan_kernel(
     )
     wr_h1.start()
 
-    # stride-2 down conv at full res, then decimate even rows/lanes
+    # stride-2 down conv at full res, then decimate rows (sublane reshape);
+    # lanes stay sparse — valid half-res samples at even lanes.
+    # Row alignment: full row r <-> image y = row0+r-HALO, half q <-> y/2 =
+    # row0/2+q-HALO/2, so even window rows 0..2Rh map exactly onto the
+    # half-res window.
     c2f = jnp.maximum(_conv3(h1n, wc2, dt), 0.0).astype(dt).reshape(2 * bch, R, wps)
-    # even rows/lanes; rows 0..Rh align with the half-res window exactly
-    # (full row r <-> image y = row0+r-HALO, half q <-> y/2 = row0/2+q-HALO/2)
-    c2 = _dec2(c2f)[:, :Rh, :] * maskh  # [2b, Rh, wph]
+    c2 = _rows_dec2(c2f)[:, :Rh, :] * maskh  # [2b, Rh, wps] lanes-sparse
 
     @pl.when(d > 0)
     def _():
         cp_h2.wait()
 
     h2 = h2win[:]
-    g2 = _conv3(jnp.concatenate([c2, h2], axis=0), wg2, dt)
+    g2 = _conv3(jnp.concatenate([c2, h2], axis=0), wg2, dt, lane_step=2)
     g2 = (g2 + bg2[:]).astype(dt)
-    r2g = jax.nn.sigmoid(g2[: 2 * bch]).reshape(2 * bch, Rh, wph)
-    u2g = jax.nn.sigmoid(g2[2 * bch :]).reshape(2 * bch, Rh, wph)
-    cand2 = _conv3(jnp.concatenate([c2, r2g * h2], axis=0), wn2, dt)
-    cand2 = jnp.tanh((cand2 + bn2[:]).astype(dt)).reshape(2 * bch, Rh, wph)
-    h2n = (u2g * h2 + (1.0 - u2g) * cand2) * maskh
+    r2g = jax.nn.sigmoid(g2[: 2 * bch]).reshape(2 * bch, Rh, wps)
+    u2g = jax.nn.sigmoid(g2[2 * bch :]).reshape(2 * bch, Rh, wps)
+    cand2 = _conv3(jnp.concatenate([c2, r2g * h2], axis=0), wn2, dt, lane_step=2)
+    cand2 = jnp.tanh((cand2 + bn2[:]).astype(dt)).reshape(2 * bch, Rh, wps)
+    h2n = (u2g * h2 + (1.0 - u2g) * cand2) * maskh  # odd lanes exactly 0
     h2out[:] = h2n[:, HALO // 2 : HALO // 2 + th // 2, :]
     wr_h2 = pltpu.make_async_copy(
         h2out, h2_ref.at[pw, b_i, :, pl.ds(HALO // 2 + rowh0, th // 2), :], sems.at[4]
@@ -359,12 +401,13 @@ def _red_scan_kernel(
 
     # up path: u1 = relu(deconv(r2) + r1); deconv output rows 2q+a align with
     # the full-res window exactly (half window row 0 <-> full window row 0)
-    u1 = _deconv2x(h2n, wu1, bu1[:], dt)  # [b, 2*Rh, wps]
+    u1 = _deconv_half_to_full(h2n, wu1, bu1[:], dt)  # [b, 2*Rh, wps] dense
     u1 = jnp.maximum(u1[:, :R, :] + h1n, 0.0) * mask
 
     if up:
-        out = _deconv2x(u1, wh, bh[:], dt)  # [1, 2R, 2wps]
-        cost_ref[0, 0] = out[0, 2 * HALO : 2 * HALO + 2 * th, :]
+        c0, c1 = _deconv_up_phases(u1, wh, bh[:], dt)  # each [1, 2R, wps]
+        cost_ref[0, 0, 0] = c0[0, 2 * HALO : 2 * HALO + 2 * th, :]
+        cost_ref[0, 0, 1] = c1[0, 2 * HALO : 2 * HALO + 2 * th, :]
     else:
         out = (_conv3(u1, wh, dt) + bh[:]).astype(dt).reshape(1, R, wps)
         cost_ref[0, 0] = out[0, HALO : HALO + th, :]
@@ -398,16 +441,16 @@ def ada_red_scan(
     assert vol_sp.shape[2:] == (cin, hps, wps), (vol_sp.shape, (cin, hps, wps))
     R = th + 2 * HALO
     Rh = th // 2 + HALO
-    wph = wps // 2
     hpsh = HALO // 2 + nty * (th // 2) + HALO // 2
     bch = base
 
     if up:
-        out_rows, out_cols = 2 * nty * th, 2 * wps
-        cost_block = (1, 1, 2 * th, 2 * wps)
-        cost_idx = lambda b, d, ty: (d, b, ty, 0)
+        # lane-phase-split: out[.., r, 2j+c] lives at [.., c, r, j]
+        out_shape_cost = (D, B, 2, 2 * nty * th, wps)
+        cost_block = (1, 1, 2, 2 * th, wps)
+        cost_idx = lambda b, d, ty: (d, b, 0, ty, 0)
     else:
-        out_rows, out_cols = nty * th, wps
+        out_shape_cost = (D, B, nty * th, wps)
         cost_block = (1, 1, th, wps)
         cost_idx = lambda b, d, ty: (d, b, ty, 0)
 
@@ -437,33 +480,35 @@ def ada_red_scan(
             hbm,
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((D, B, out_rows, out_cols), dt),
+            jax.ShapeDtypeStruct(out_shape_cost, dt),
             jax.ShapeDtypeStruct((2, B, bch, hps, wps), dt),
-            jax.ShapeDtypeStruct((2, B, 2 * bch, hpsh, wph), dt),
+            jax.ShapeDtypeStruct((2, B, 2 * bch, hpsh, wps), dt),
         ],
         scratch_shapes=[
             pltpu.VMEM((cin, R, wps), dt),
             pltpu.VMEM((bch, R, wps), dt),
-            pltpu.VMEM((2 * bch, Rh, wph), dt),
+            pltpu.VMEM((2 * bch, Rh, wps), dt),
             pltpu.VMEM((bch, th, wps), dt),
-            pltpu.VMEM((2 * bch, th // 2, wph), dt),
+            pltpu.VMEM((2 * bch, th // 2, wps), dt),
             pltpu.SemaphoreType.DMA((5,)),
         ],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=110 * 1024 * 1024,
+            vmem_limit_bytes=120 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
             flops=B * D * nty * 2 * (R * wps) * (
                 3 * cin * bch + 3 * 2 * bch * 3 * bch + 2 * bch * 3 * bch
-                + (3 * 4 * bch * 4 * bch + 3 * 4 * bch * 2 * bch) // 4
+                + (3 * 4 * bch * 4 * bch + 3 * 4 * bch * 2 * bch) // 2
                 + 2 * bch * bch + 9 * bch * (4 if up else 1)
             ),
-            bytes_accessed=B * D * nty * (cin + 2 * bch) * R * wps * dt.itemsize,
+            bytes_accessed=B * D * nty * (cin + 3 * bch) * R * wps * dt.itemsize,
             transcendentals=B * D * nty * R * wps * 3 * bch,
         ),
         interpret=interpret,
     )(vol_sp, *wvals)
 
     if up:
-        return cost[:, :, : 2 * h, 2 * XPAD : 2 * XPAD + 2 * w]
+        # [D, B, 2, 2R, W] -> [D, B, 2R, 2W]: out[.., r, 2j+c] = cost[.., c, r, j]
+        full = jnp.moveaxis(cost, 2, -1).reshape(D, B, 2 * nty * th, 2 * wps)
+        return full[:, :, : 2 * h, 2 * XPAD : 2 * XPAD + 2 * w]
     return cost[:, :, :h, XPAD : XPAD + w]

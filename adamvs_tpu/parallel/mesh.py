@@ -43,10 +43,34 @@ def replicate(tree, mesh: Mesh):
 
 
 def shard_batch(batch, mesh: Mesh):
-    """Shard every leaf's leading (batch) axis over the ``data`` axis."""
-    s = NamedSharding(mesh, P("data"))
+    """Shard a train/eval batch dict: every leaf's leading (batch) axis over
+    ``data``, and — when the mesh has a non-trivial ``tile`` axis — image rows
+    over ``tile`` (imgs [B,V,H,W,3] on axis 2, per-stage depth/mask [B,h,w]
+    on axis 1).
 
-    def put(x):
+    Single-process meshes use a plain device_put; on a multi-host mesh each
+    process passes its LOCAL slice of the global batch and the global array is
+    assembled across processes (each host loads a disjoint sample-list shard,
+    cli.cmd_train)."""
+    multihost = jax.process_count() > 1
+    tiled = "tile" in mesh.axis_names and mesh.shape["tile"] > 1
+
+    def put(x, spec):
+        s = NamedSharding(mesh, spec)
+        if multihost:
+            return jax.make_array_from_process_local_data(s, np.asarray(x))
         return jax.device_put(x, s)
 
-    return jax.tree_util.tree_map(put, batch)
+    def spec_for(path, x):
+        if not tiled:
+            return P("data")
+        top = path[0].key if hasattr(path[0], "key") else None
+        if top == "imgs":
+            return P("data", None, "tile")
+        if top in ("depth", "mask"):
+            return P("data", "tile")
+        return P("data")
+
+    return jax.tree_util.tree_map_with_path(
+        lambda path, x: put(x, spec_for(path, x)), batch
+    )

@@ -128,6 +128,13 @@ class PredictEngine:
         self._jitted: dict[tuple, Any] = {}
         self._feat_cache: "dict[Any, dict]" = {}  # image id -> {stageK: [1,h,w,C]}
         self._feat_order: list = []
+        # reg_impl='pallas' needs the packed regularizer matrices; computed
+        # once per checkpoint here (they are jit-traceable pytree inputs)
+        self._packed_reg = None
+        if getattr(model, "reg_impl", "scan") == "pallas" and tile_mesh is None:
+            from ..models.adamvs import pack_reg_params
+
+            self._packed_reg = pack_reg_params(model, variables)
 
     def _get_fn(self, shape_key: tuple):
         if shape_key not in self._jitted:
@@ -139,10 +146,13 @@ class PredictEngine:
                     halo=self.halo or HALO_ROWS,
                 )
             else:
+                extra = {} if self._packed_reg is None else {
+                    "packed_reg": self._packed_reg}
+
                 def fwd(variables, imgs, projs, depth_values):
                     out = self.model.apply(
                         variables, imgs, projs, depth_values, train=False,
-                        num_depth=self.num_depth,
+                        num_depth=self.num_depth, **extra,
                     )
                     return out["depth"], out["photometric_confidence"]
 
@@ -202,10 +212,13 @@ class PredictEngine:
     def _get_featfwd_fn(self, shape_key: tuple):
         key = ("featfwd",) + shape_key
         if key not in self._jitted:
+            extra = {} if self._packed_reg is None else {
+                "packed_reg": self._packed_reg}
+
             def fwd(variables, features, projs, depth_values):
                 out = self.model.apply(
                     variables, None, projs, depth_values, train=False,
-                    num_depth=self.num_depth, features=features,
+                    num_depth=self.num_depth, features=features, **extra,
                 )
                 return out["depth"], out["photometric_confidence"]
 

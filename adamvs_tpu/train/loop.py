@@ -97,7 +97,14 @@ class Trainer:
         save_freq: int = 1,
         ckpt_step_freq: int = 3000,
         log_fn: Callable[[str], None] = print,
+        mesh=None,
     ):
+        """``mesh``: a Mesh with a 'data' axis — SPMD data-parallel training
+        (the TPU-native form of the reference's nn.DataParallel,
+        train_whu.py:110). Params/opt state are replicated, every batch's
+        leading axis is sharded over 'data', and XLA inserts the gradient
+        all-reduce. Host-side writes (jsonl/TB/checkpoints) happen on
+        process 0 only; the step math is identical to single-device."""
         self.model = model
         self.state = state
         self.logdir = logdir
@@ -105,18 +112,36 @@ class Trainer:
         self.save_freq = save_freq
         self.ckpt_step_freq = ckpt_step_freq
         self.log = log_fn
+        self.mesh = mesh
+        self.is_primary = jax.process_index() == 0
+        if mesh is not None:
+            from ..parallel.mesh import replicate
+
+            self.state = replicate(self.state, mesh)
         self.train_step = make_train_step(loss_fn, dlossw)
         self.eval_step = make_eval_step(loss_fn, dlossw, num_stages)
         os.makedirs(logdir, exist_ok=True)
-        self._jsonl = open(os.path.join(logdir, "metrics.jsonl"), "a")
+        self._jsonl = (
+            open(os.path.join(logdir, "metrics.jsonl"), "a")
+            if self.is_primary else None
+        )
         # TensorBoard scalars (reference save_scalars, utils.py:117-126);
         # optional — jsonl stays the source of truth
-        try:
-            from tensorboardX import SummaryWriter
+        self._tb = None
+        if self.is_primary:
+            try:
+                from tensorboardX import SummaryWriter
 
-            self._tb = SummaryWriter(logdir)
-        except Exception:
-            self._tb = None
+                self._tb = SummaryWriter(logdir)
+            except Exception:
+                self._tb = None
+
+    def _shard(self, batch):
+        if self.mesh is None:
+            return batch
+        from ..parallel.mesh import shard_batch
+
+        return shard_batch(batch, self.mesh)
 
     def resume(self) -> int:
         """Restore the latest checkpoint; returns the next epoch index."""
@@ -132,6 +157,8 @@ class Trainer:
         self.state = restore_checkpoint(path, self.state)
 
     def _record(self, kind: str, step: int, scalars: dict[str, float]):
+        if self._jsonl is None:
+            return
         self._jsonl.write(json.dumps({"kind": kind, "step": step, **scalars}) + "\n")
         self._jsonl.flush()
         if self._tb is not None:
@@ -165,6 +192,7 @@ class Trainer:
         meter = AverageMeter()
         for i, batch in enumerate(batches):
             t0 = time.time()
+            batch = self._shard(batch)
             self.state, metrics, depth_est = self.train_step(self.state, batch)
             step = int(self.state.step)
             scalars = {k: float(v) for k, v in metrics.items()}
@@ -176,22 +204,23 @@ class Trainer:
                 f"Epoch {epoch}, iter {i}, loss={scalars['loss']:.4f}, "
                 f"time={time.time() - t0:.3f}s"
             )
-            if self.ckpt_step_freq and step % self.ckpt_step_freq == 0:
+            if self.ckpt_step_freq and step % self.ckpt_step_freq == 0 and self.is_primary:
                 save_checkpoint(self.logdir, self.state, epoch, tag=f"step{step}")
         return meter.mean()
 
     def eval_epoch(self, epoch: int, batches) -> dict[str, float]:
         meter = AverageMeter()
         for i, batch in enumerate(batches):
-            metrics, _, _ = self.eval_step(self.state, batch)
+            metrics, _, _ = self.eval_step(self.state, self._shard(batch))
             meter.update({k: float(v) for k, v in metrics.items()})
         means = meter.mean()
         self._record("val", int(self.state.step), means)
-        with open(os.path.join(self.logdir, "train_record.txt"), "a+") as f:
-            f.write(f"{epoch} {means}\n")
+        if self.is_primary:
+            with open(os.path.join(self.logdir, "train_record.txt"), "a+") as f:
+                f.write(f"{epoch} {means}\n")
         return means
 
     def end_epoch(self, epoch: int, val_metrics: dict[str, float] | None):
-        if (epoch + 1) % self.save_freq == 0:
+        if (epoch + 1) % self.save_freq == 0 and self.is_primary:
             metric = val_metrics.get("abs_depth_error") if val_metrics else None
             save_checkpoint(self.logdir, self.state, epoch, metric=metric)

@@ -84,6 +84,12 @@ def run_bench(height, width, views, numdepth, iters, model_name, warmup=1,
 
     from adamvs_tpu.models import build_model
 
+    if reg_impl == "pallas" and sweep_impl not in ("fused", "fusedf32"):
+        raise SystemExit(
+            "--reg_impl pallas requires --sweep_impl fused/fusedf32 "
+            "(the Pallas regularizer scans the fused sweep's volume); "
+            "refusing to silently run the scan regularizer (ADVICE r3)"
+        )
     kw = {"warp_impl": warp_impl, "use_remat": remat,
           "sweep_impl": sweep_impl, "fuse_d_chunk": fuse_d_chunk}
     if model_name == "adamvs":
