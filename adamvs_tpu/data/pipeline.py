@@ -169,6 +169,43 @@ def load_train_sample(
     )
 
 
+# predict-source cameras carry k1,k2,k3,p1,p2 lens-distortion coefficients
+# (io/cams_text.py:149). The reference silently ignores them
+# (predict_oblique.py:72-111) — correct only for pre-undistorted imagery. A
+# pinhole warp on distorted aerial frames shifts matches by k1*r^3 pixels
+# (tens of px at the frame corner for |k1|~1e-8 px^-2 at r~3000), so refuse
+# quietly wrong depths: warn once per camera at a soft threshold, raise at a
+# hard one.
+_DISTORTION_WARNED: set = set()
+
+
+def _check_distortion(pcam, camera_id, warn_px: float = 0.5, hard_px: float = 8.0):
+    dist = np.asarray(getattr(pcam, "distortion", ()), dtype=np.float64)
+    if dist.size == 0 or not np.any(dist):
+        return
+    # max radial displacement in px at the frame corner, odd/even radial terms
+    # k1 r^3 + k2 r^5 + k3 r^7 + tangential ~ 3|p| r^2
+    r = float(np.hypot(pcam.x0, pcam.y0)) or 1.0
+    k = list(dist) + [0.0] * (5 - dist.size)
+    shift = abs(k[0]) * r**3 + abs(k[1]) * r**5 + abs(k[4]) * r**7 \
+        + 3.0 * (abs(k[2]) + abs(k[3])) * r**2
+    if shift > hard_px:
+        raise ValueError(
+            f"camera {camera_id}: distortion {dist.tolist()} displaces the "
+            f"frame corner by ~{shift:.1f}px; undistort the imagery first "
+            "(the pinhole plane-sweep warp assumes zero distortion)"
+        )
+    if shift > warn_px and camera_id not in _DISTORTION_WARNED:
+        _DISTORTION_WARNED.add(camera_id)
+        import warnings
+
+        warnings.warn(
+            f"camera {camera_id}: nonzero distortion {dist.tolist()} "
+            f"(~{shift:.2f}px at frame corner) is ignored by the pinhole "
+            "warp; depths may shift near image edges"
+        )
+
+
 def load_predict_sample(
     source: PredictSource,
     spec: PredictSpec,
@@ -188,6 +225,7 @@ def load_predict_sample(
     for view, image_id in enumerate(spec.view_ids):
         photo = source.photos[image_id]
         pcam = source.cameras[photo.camera_id]
+        _check_distortion(pcam, photo.camera_id)
         img = read_image(source.image_paths[image_id])
         cam = Camera(
             K=np.array(

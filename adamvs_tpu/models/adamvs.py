@@ -56,8 +56,10 @@ from ..ops.red_scan import (
 )
 from ..ops.sweep_fuse import (
     corr_sweep_volume,
+    corr_sweep_volume_t,
     fold_grid,
     fused_sweep_volume,
+    fused_sweep_volume_t,
     merge_sources,
     unfold_tiles,
 )
@@ -446,13 +448,14 @@ class AdaMVS(nn.Module):
             in_axes=(0, 0, nn.broadcast, nn.broadcast),
             out_axes=0,
         )
-        # fused sweep is inference-only: the Pallas kernels define no VJP, so
-        # gradient passes (train=True) keep the exact in-scan warp path
-        use_fused = (
-            self.sweep_impl in ("fused", "fusedf32")
-            and self.depth_mesh is None
-            and not train
+        # fused sweep: inference uses the kernel-folded layout; training keeps
+        # the Pallas forward and backpropagates through the gather-recompute
+        # custom VJP (ops/sweep_fuse.py fused_sweep_volume_t / corr_..._t)
+        fused_cfg = (
+            self.sweep_impl in ("fused", "fusedf32") and self.depth_mesh is None
         )
+        use_fused = fused_cfg and not train
+        use_fused_t = fused_cfg and train
         fuse_mm = jnp.float32 if self.sweep_impl == "fusedf32" else jnp.bfloat16
         # Pallas regularizer scan: inference-only, needs the packed param
         # matrices (absent at init, so init always creates the flax cell
@@ -494,16 +497,18 @@ class AdaMVS(nn.Module):
             src_projs = jnp.moveaxis(src_projs, 1, 0)  # [V-1,B,4,4]
             h, w = ref_feat.shape[1:3]
             # pallas2: hoist the merged-lane source transform out of the scan
-            src_feats_w = src_feats if use_fused else prepare_warp_sources(
+            any_fused = use_fused or use_fused_t
+            src_feats_w = src_feats if any_fused else prepare_warp_sources(
                 self.warp_impl, self.warp_bands, src_feats, self.dtype
             )
-            srcs_m = None
-            if use_fused:
+            srcs_m = src_arr = None
+            if any_fused:
                 src_arr = (
                     src_feats
                     if isinstance(src_feats, jnp.ndarray)
                     else jnp.stack(list(src_feats))
                 )
+            if use_fused:
                 srcs_m = merge_sources(
                     src_arr, row_band=self.fuse_bands[0],
                     col_band=self.fuse_bands[1], mm_dtype=fuse_mm,
@@ -524,12 +529,19 @@ class AdaMVS(nn.Module):
                             ref_feat, srcs_m, src_projs, ref_proj, lo, step,
                             num_depth=D, d_chunk=self.fuse_d_chunk,
                         )  # [V-1,B,h,w,D]
+                elif use_fused_t:
+                    with jax.named_scope("stage1_pairmatch_corr"):
+                        corr_all = corr_sweep_volume_t(
+                            ref_feat, src_arr, src_projs, ref_proj, lo, step,
+                            D, self.fuse_d_chunk,
+                            self.fuse_bands[0], self.fuse_bands[1], fuse_mm,
+                        )
                 else:
                     warp_fn = get_warp_fn(self.warp_impl, self.warp_bands)
                 confs, pds = [], []
                 for v in range(V - 1):
                     with jax.named_scope(f"stage1_pairmatch_v{v}"):
-                        if use_fused:
+                        if any_fused:
                             corr = corr_all[v]
                         else:
                             corr = correlation_volume(
@@ -557,14 +569,24 @@ class AdaMVS(nn.Module):
                 B, h, w, self.dtype or jnp.float32
             )
             acc = online_softmax_init((B, out_h, out_w))
-            if use_fused:
-                fgrid = fold_grid(B, h, w)
-                with jax.named_scope(f"{key}_sweep_fusedvol"):
-                    fused_all = fused_sweep_volume(
-                        ref_feat, srcs_m, src_projs, ref_proj, weights, lo, step,
-                        num_depth=D, d_chunk=self.fuse_d_chunk,
-                        out_dtype=self.dtype or jnp.float32, folded=True,
-                    )  # [D,B*T,C,P]
+            if any_fused:
+                if use_fused:
+                    fgrid = fold_grid(B, h, w)
+                    with jax.named_scope(f"{key}_sweep_fusedvol"):
+                        fused_all = fused_sweep_volume(
+                            ref_feat, srcs_m, src_projs, ref_proj, weights, lo, step,
+                            num_depth=D, d_chunk=self.fuse_d_chunk,
+                            out_dtype=self.dtype or jnp.float32, folded=True,
+                        )  # [D,B*T,C,P]
+                else:
+                    fgrid = ()  # unfolded [D,B,h,w,C] for the training path
+                    with jax.named_scope(f"{key}_sweep_fusedvol_t"):
+                        fused_all = fused_sweep_volume_t(
+                            ref_feat, src_arr, weights, src_projs, ref_proj,
+                            lo, step, D, self.fuse_d_chunk,
+                            self.fuse_bands[0], self.fuse_bands[1], fuse_mm,
+                            self.dtype or jnp.float32,
+                        )
                 if up:
                     lo_acc = resize_bilinear(lo, out_h, out_w)
                     step_acc = resize_bilinear(step, out_h, out_w)

@@ -173,18 +173,23 @@ def _roll(x, shift, axis):
 
 
 def _conv3(x, w3, dt, lane_step: int = 1):
-    """x [C, R, W] (W % 128 == 0), w3 [3, Cout, 3C] -> f32 [Cout, R*W].
+    """x [C, R, W] (f32, W % 128 == 0), w3 [3, Cout, 3C] -> f32 [Cout, R*W].
 
     Tap (dy, dx) reads x[r-1+dy, p-(1-dx)*lane_step]; rolls wrap, corrupting
     only window edge rows/lanes, which stay inside the halo / lane-pad
     margins. ``lane_step=2`` is the lanes-sparse half-res form: valid samples
-    sit at even lanes, so a half-res column step is two lanes."""
+    sit at even lanes, so a half-res column step is two lanes.
+
+    In-kernel values stay f32 — Mosaic's rotate only exists for 32-bit data —
+    and are cast to the compute dtype ``dt`` per rolled piece right before the
+    MXU contraction (bf16 matmul speed, f32 vector ops)."""
     C, R, W = x.shape
     acc = None
     for dx in range(3):
         xr = x if dx == 1 else _roll(x, (1 - dx) * lane_step, axis=2)
         stack = jnp.concatenate(
-            [_roll(xr, 1, axis=1), xr, _roll(xr, -1, axis=1)], axis=0
+            [_roll(xr, 1, axis=1).astype(dt), xr.astype(dt),
+             _roll(xr, -1, axis=1).astype(dt)], axis=0
         ).reshape(3 * C, R * W)
         t = jax.lax.dot_general(
             w3[dx].astype(dt), stack,
@@ -217,33 +222,41 @@ def _lane_parity_masks(shape, dt):
 
 def _phase_mm(x4, w4, bias, dt, co, R, W):
     """The 4 output-phase contractions of a stride-2 transposed conv:
-    x4 [4C, R*W] tap stack -> list of 4 [co, R, W] phase results."""
+    x4 [4C, R*W] tap stack -> list of 4 f32 [co, R, W] phase results."""
     ph = []
     for p in range(4):
         t = jax.lax.dot_general(
             w4[p].astype(dt), x4,
             (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
         )
-        ph.append((t + bias).astype(dt).reshape(co, R, W))
+        ph.append((t + bias).reshape(co, R, W))
     return ph
+
+
+def _tap_stack(x, dt, lane_shift: int):
+    """Deconv tap stack [4C, R*W] in slot order (0,0),(0,1),(1,0),(1,1):
+    x f32, rolls f32, per-piece cast to ``dt``."""
+    C, R, W = x.shape
+    sx = _roll(x, -lane_shift, axis=2)
+    return jnp.concatenate(
+        [x.astype(dt), sx.astype(dt), _roll(x, -1, axis=1).astype(dt),
+         _roll(sx, -1, axis=1).astype(dt)], axis=0
+    ).reshape(4 * C, R * W)
 
 
 def _deconv_half_to_full(x, w4, bias, dt):
     """Stride-2 transposed conv from the rows-compact / lanes-sparse half-res
-    layout back to dense full res: x [C, Rh, W] (valid at even lanes) ->
-    [co, 2*Rh, W] dense. Tap shifts: one compact row = one half-res row,
+    layout back to dense full res: x [C, Rh, W] f32 (valid at even lanes) ->
+    f32 [co, 2*Rh, W] dense. Tap shifts: one compact row = one half-res row,
     two lanes = one half-res column. Phase p = 2a + c writes out[2i+a, .]:
     c = 0 lands on even lanes where the phase result already sits; c = 1 is a
     +1 lane roll onto odd lanes — parity-masked adds replace the (unsupported)
     lane interleave."""
     C, Rh, W = x.shape
     co = w4.shape[1]
-    sx = _roll(x, -2, axis=2)
-    x4 = jnp.concatenate(
-        [x, sx, _roll(x, -1, axis=1), _roll(sx, -1, axis=1)], axis=0
-    ).reshape(4 * C, Rh * W)
+    x4 = _tap_stack(x, dt, 2)
     ph = _phase_mm(x4, w4, bias, dt, co, Rh, W)
-    even, odd = _lane_parity_masks((Rh, W), dt)
+    even, odd = _lane_parity_masks((Rh, W), jnp.float32)
     top = ph[0] * even + _roll(ph[1], 1, axis=2) * odd
     bot = ph[2] * even + _roll(ph[3], 1, axis=2) * odd
     return _ilv_rows(top, bot)
@@ -251,15 +264,12 @@ def _deconv_half_to_full(x, w4, bias, dt):
 
 def _deconv_up_phases(x, w4, bias, dt):
     """Stride-2 transposed conv from dense full res to 2x, lane-phase-split:
-    x [C, R, W] -> (c0, c1), each [co, 2R, W], where the true output is
-    out[2i+a, 2j+c] = (c_c)[2i+a, j] — rows interleaved in-kernel, the lane
+    x [C, R, W] f32 -> (c0, c1), each f32 [co, 2R, W], where the true output
+    is out[2i+a, 2j+c] = (c_c)[2i+a, j] — rows interleaved in-kernel, the lane
     interleave deferred to one XLA reshape outside."""
     C, R, W = x.shape
     co = w4.shape[1]
-    sx = _roll(x, -1, axis=2)
-    x4 = jnp.concatenate(
-        [x, sx, _roll(x, -1, axis=1), _roll(sx, -1, axis=1)], axis=0
-    ).reshape(4 * C, R * W)
+    x4 = _tap_stack(x, dt, 1)
     ph = _phase_mm(x4, w4, bias, dt, co, R, W)
     return _ilv_rows(ph[0], ph[2]), _ilv_rows(ph[1], ph[3])
 
@@ -340,34 +350,38 @@ def _red_scan_kernel(
     # is even and in [0, w).
     rr = jax.lax.broadcasted_iota(jnp.int32, (R, wps), 0) + (row0 - HALO)
     cc = jax.lax.broadcasted_iota(jnp.int32, (R, wps), 1) - XPAD
-    mask = ((rr >= 0) & (rr < h) & (cc >= 0) & (cc < w)).astype(dt)[None]
+    mask = ((rr >= 0) & (rr < h) & (cc >= 0) & (cc < w)).astype(jnp.float32)[None]
     rrh = jax.lax.broadcasted_iota(jnp.int32, (Rh, wps), 0) + (rowh0 - HALO // 2)
     cch = jax.lax.broadcasted_iota(jnp.int32, (Rh, wps), 1) - XPAD
     maskh = (
         (rrh >= 0) & (rrh < (h + 1) // 2)
         & (cch >= 0) & (cch < w) & (cch % 2 == 0)
-    ).astype(dt)[None]
+    ).astype(jnp.float32)[None]
 
+    # All in-kernel vector values are f32 (Mosaic rotate is 32-bit only;
+    # sigmoid/tanh lowering likewise rejects bf16); ``dt`` appears only in the
+    # DMA scratch buffers and as the per-piece cast at MXU contraction inputs
+    # (see _conv3), so bf16 configs keep bf16 matmul throughput and halve the
+    # carry/volume HBM traffic.
     cp_v.wait()
-    x = vwin[:].astype(dt) * mask
+    x = vwin[:].astype(jnp.float32) * mask
     # mask every conv input: even bias-free outputs are nonzero in the ring
     # just outside the image (taps reach inside), where XLA reads zero padding
-    c1 = jnp.maximum(_conv3(x, wc1, dt), 0.0).astype(dt).reshape(bch, R, wps)
+    c1 = jnp.maximum(_conv3(x, wc1, dt), 0.0).reshape(bch, R, wps)
     c1 = c1 * mask
 
     @pl.when(d > 0)
     def _():
         cp_h1.wait()
 
-    h1 = h1win[:]
-    g = _conv3(jnp.concatenate([c1, h1], axis=0), wg1, dt)
-    g = (g + bg1[:]).astype(dt)
+    h1 = h1win[:].astype(jnp.float32)
+    g = _conv3(jnp.concatenate([c1, h1], axis=0), wg1, dt) + bg1[:]
     r = jax.nn.sigmoid(g[:bch]).reshape(bch, R, wps)
     u = jax.nn.sigmoid(g[bch:]).reshape(bch, R, wps)
     cand = _conv3(jnp.concatenate([c1, r * h1], axis=0), wn1, dt)
-    cand = jnp.tanh((cand + bn1[:]).astype(dt)).reshape(bch, R, wps)
+    cand = jnp.tanh(cand + bn1[:]).reshape(bch, R, wps)
     h1n = (u * h1 + (1.0 - u) * cand) * mask  # mask: biased, leaks otherwise
-    h1out[:] = h1n[:, HALO : HALO + th, :]
+    h1out[:] = h1n[:, HALO : HALO + th, :].astype(dt)
     wr_h1 = pltpu.make_async_copy(
         h1out, h1_ref.at[pw, b_i, :, pl.ds(HALO + row0, th), :], sems.at[3]
     )
@@ -378,22 +392,21 @@ def _red_scan_kernel(
     # Row alignment: full row r <-> image y = row0+r-HALO, half q <-> y/2 =
     # row0/2+q-HALO/2, so even window rows 0..2Rh map exactly onto the
     # half-res window.
-    c2f = jnp.maximum(_conv3(h1n, wc2, dt), 0.0).astype(dt).reshape(2 * bch, R, wps)
+    c2f = jnp.maximum(_conv3(h1n, wc2, dt), 0.0).reshape(2 * bch, R, wps)
     c2 = _rows_dec2(c2f)[:, :Rh, :] * maskh  # [2b, Rh, wps] lanes-sparse
 
     @pl.when(d > 0)
     def _():
         cp_h2.wait()
 
-    h2 = h2win[:]
-    g2 = _conv3(jnp.concatenate([c2, h2], axis=0), wg2, dt, lane_step=2)
-    g2 = (g2 + bg2[:]).astype(dt)
+    h2 = h2win[:].astype(jnp.float32)
+    g2 = _conv3(jnp.concatenate([c2, h2], axis=0), wg2, dt, lane_step=2) + bg2[:]
     r2g = jax.nn.sigmoid(g2[: 2 * bch]).reshape(2 * bch, Rh, wps)
     u2g = jax.nn.sigmoid(g2[2 * bch :]).reshape(2 * bch, Rh, wps)
     cand2 = _conv3(jnp.concatenate([c2, r2g * h2], axis=0), wn2, dt, lane_step=2)
-    cand2 = jnp.tanh((cand2 + bn2[:]).astype(dt)).reshape(2 * bch, Rh, wps)
+    cand2 = jnp.tanh(cand2 + bn2[:]).reshape(2 * bch, Rh, wps)
     h2n = (u2g * h2 + (1.0 - u2g) * cand2) * maskh  # odd lanes exactly 0
-    h2out[:] = h2n[:, HALO // 2 : HALO // 2 + th // 2, :]
+    h2out[:] = h2n[:, HALO // 2 : HALO // 2 + th // 2, :].astype(dt)
     wr_h2 = pltpu.make_async_copy(
         h2out, h2_ref.at[pw, b_i, :, pl.ds(HALO // 2 + rowh0, th // 2), :], sems.at[4]
     )
@@ -405,12 +418,12 @@ def _red_scan_kernel(
     u1 = jnp.maximum(u1[:, :R, :] + h1n, 0.0) * mask
 
     if up:
-        c0, c1 = _deconv_up_phases(u1, wh, bh[:], dt)  # each [1, 2R, wps]
-        cost_ref[0, 0, 0] = c0[0, 2 * HALO : 2 * HALO + 2 * th, :]
-        cost_ref[0, 0, 1] = c1[0, 2 * HALO : 2 * HALO + 2 * th, :]
+        c0, c1v = _deconv_up_phases(u1, wh, bh[:], dt)  # each [1, 2R, wps]
+        cost_ref[0, 0, 0] = c0[0, 2 * HALO : 2 * HALO + 2 * th, :].astype(dt)
+        cost_ref[0, 0, 1] = c1v[0, 2 * HALO : 2 * HALO + 2 * th, :].astype(dt)
     else:
-        out = (_conv3(u1, wh, dt) + bh[:]).astype(dt).reshape(1, R, wps)
-        cost_ref[0, 0] = out[0, HALO : HALO + th, :]
+        out = (_conv3(u1, wh, dt) + bh[:]).reshape(1, R, wps)
+        cost_ref[0, 0] = out[0, HALO : HALO + th, :].astype(dt)
 
     wr_h1.wait()
     wr_h2.wait()

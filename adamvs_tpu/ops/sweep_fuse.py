@@ -698,3 +698,206 @@ def corr_sweep_volume(
     out = out.transpose(1, 0, 2, 3).reshape(Vs, B, nty, ntx, D, tile_h, tile_w)
     out = out.transpose(0, 1, 2, 5, 3, 6, 4).reshape(Vs, B, hp, wp, D)
     return out[:, :, :h, :w]
+
+
+# ---------------------------------------------------------------------------
+# training support: custom VJPs for the fused sweep kernels
+# ---------------------------------------------------------------------------
+#
+# The Pallas kernels define no derivative rules, so gradient passes previously
+# had to fall back to the in-scan warp path (the round-3 training-throughput
+# gap). These wrappers keep the FUSED kernel as the forward and implement the
+# backward as the VJP of the mathematically-equivalent XLA composition
+# (exact gather warp), recomputed at the same primals — "recompute-by-gather".
+# Warp sample coordinates carry no gradient (reference computes grids under
+# no_grad, module.py:531), so cotangents flow to features and weights only;
+# projections and the hypothesis maps (lo, step) receive zeros.
+
+from .warp import plane_sweep_warp as _gather_warp
+
+
+def _xla_blocks(D, block):
+    if D % block != 0:
+        block = D
+    return jnp.arange(D, dtype=jnp.float32).reshape(D // block, block)
+
+
+def _xla_fused_volume(ref, srcs, weights, src_projs, ref_proj, lo, step,
+                      D, block=8):
+    """[D,B,h,w,C] visibility-weighted volume via the exact gather warp."""
+    B, h, w, _ = ref.shape
+    wn = weights / (1e-5 + jnp.sum(weights, axis=-1, keepdims=True))
+
+    def one(d_blk):
+        hyp = lo[:, None] + d_blk[None, :, None, None] * step[:, None]
+        acc = jnp.float32(0.0)
+        for v in range(srcs.shape[0]):
+            warped = _gather_warp(srcs[v], src_projs[v], ref_proj, hyp)
+            acc = acc + (ref[:, None] * warped) * wn[..., v : v + 1][:, None]
+        return jnp.moveaxis(acc, 1, 0)
+
+    out = jax.lax.map(one, _xla_blocks(D, block))  # [nb,blk,B,h,w,C]
+    return out.reshape((D,) + out.shape[2:])
+
+
+def _xla_var_volume(ref, srcs, src_projs, ref_proj, lo, step, D, block=8):
+    """[D,B,h,w,C] variance volume over {ref, warps} via the gather warp."""
+    nv = srcs.shape[0] + 1
+
+    def one(d_blk):
+        hyp = lo[:, None] + d_blk[None, :, None, None] * step[:, None]
+        s = jnp.broadcast_to(
+            ref[:, None], (ref.shape[0], d_blk.shape[0]) + ref.shape[1:]
+        )
+        sq = s * s
+        for v in range(srcs.shape[0]):
+            warped = _gather_warp(srcs[v], src_projs[v], ref_proj, hyp)
+            s = s + warped
+            sq = sq + warped * warped
+        return jnp.moveaxis(sq / nv - (s / nv) ** 2, 1, 0)
+
+    out = jax.lax.map(one, _xla_blocks(D, block))
+    return out.reshape((D,) + out.shape[2:])
+
+
+def _xla_corr_volume(ref, srcs, src_projs, ref_proj, lo, step, D, block=8):
+    """[Vs,B,h,w,D] per-view channel-mean correlation via the gather warp."""
+    def one(d_blk):
+        hyp = lo[:, None] + d_blk[None, :, None, None] * step[:, None]
+        outs = []
+        for v in range(srcs.shape[0]):
+            warped = _gather_warp(srcs[v], src_projs[v], ref_proj, hyp)
+            outs.append(jnp.moveaxis(
+                jnp.mean(ref[:, None] * warped, axis=-1), 1, -1))  # [B,h,w,blk]
+        return jnp.stack(outs)  # [Vs,B,h,w,blk]
+
+    out = jax.lax.map(one, _xla_blocks(D, block))  # [nb,Vs,B,h,w,blk]
+    return jnp.concatenate(list(out), axis=-1)
+
+
+def _merge(srcs, row_band, col_band, mm_dtype):
+    return merge_sources(srcs, row_band=row_band, col_band=col_band,
+                         mm_dtype=mm_dtype)
+
+
+@functools.partial(
+    jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11, 12, 13)
+)
+def fused_sweep_volume_t(ref, srcs, weights, src_projs, ref_proj, lo, step,
+                         num_depth, d_chunk=16, row_band=12, col_band=128,
+                         mm_dtype=jnp.bfloat16, out_dtype=jnp.float32,
+                         interpret=False):
+    """Differentiable fused sweep: Pallas forward ([D,B,h,w,C], unfolded),
+    gather-recompute backward. ``srcs`` is the RAW [Vs,B,h,w,C] stack."""
+    srcs_m = _merge(srcs, row_band, col_band, mm_dtype)
+    return fused_sweep_volume(
+        ref, srcs_m, src_projs, ref_proj, weights, lo, step,
+        num_depth=num_depth, d_chunk=d_chunk, out_dtype=out_dtype,
+        interpret=interpret,
+    )
+
+
+def _fused_t_fwd(ref, srcs, weights, src_projs, ref_proj, lo, step,
+                 num_depth, d_chunk, row_band, col_band, mm_dtype, out_dtype,
+                 interpret):
+    out = fused_sweep_volume_t(
+        ref, srcs, weights, src_projs, ref_proj, lo, step, num_depth,
+        d_chunk, row_band, col_band, mm_dtype, out_dtype, interpret,
+    )
+    return out, (ref, srcs, weights, src_projs, ref_proj, lo, step)
+
+
+def _fused_t_bwd(num_depth, d_chunk, row_band, col_band, mm_dtype, out_dtype,
+                 interpret, res, g):
+    ref, srcs, weights, src_projs, ref_proj, lo, step = res
+    _, vjp = jax.vjp(
+        lambda r, s, w: _xla_fused_volume(
+            r, s, w, src_projs, ref_proj, lo, step, num_depth),
+        ref, srcs, weights,
+    )
+    dref, dsrcs, dw = vjp(g.astype(jnp.float32))
+    return (dref, dsrcs, dw, jnp.zeros_like(src_projs),
+            jnp.zeros_like(ref_proj), jnp.zeros_like(lo), jnp.zeros_like(step))
+
+
+fused_sweep_volume_t.defvjp(_fused_t_fwd, _fused_t_bwd)
+
+
+@functools.partial(
+    jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11, 12)
+)
+def var_sweep_volume_t(ref, srcs, src_projs, ref_proj, lo, step,
+                       num_depth, d_chunk=16, row_band=12, col_band=128,
+                       mm_dtype=jnp.bfloat16, out_dtype=jnp.float32,
+                       interpret=False):
+    """Differentiable variance sweep (msrednet), gather-recompute backward."""
+    srcs_m = _merge(srcs, row_band, col_band, mm_dtype)
+    return var_sweep_volume(
+        ref, srcs_m, src_projs, ref_proj, lo, step,
+        num_depth=num_depth, d_chunk=d_chunk, out_dtype=out_dtype,
+        interpret=interpret,
+    )
+
+
+def _var_t_fwd(ref, srcs, src_projs, ref_proj, lo, step, num_depth, d_chunk,
+               row_band, col_band, mm_dtype, out_dtype, interpret):
+    out = var_sweep_volume_t(
+        ref, srcs, src_projs, ref_proj, lo, step, num_depth, d_chunk,
+        row_band, col_band, mm_dtype, out_dtype, interpret,
+    )
+    return out, (ref, srcs, src_projs, ref_proj, lo, step)
+
+
+def _var_t_bwd(num_depth, d_chunk, row_band, col_band, mm_dtype, out_dtype,
+               interpret, res, g):
+    ref, srcs, src_projs, ref_proj, lo, step = res
+    _, vjp = jax.vjp(
+        lambda r, s: _xla_var_volume(
+            r, s, src_projs, ref_proj, lo, step, num_depth),
+        ref, srcs,
+    )
+    dref, dsrcs = vjp(g.astype(jnp.float32))
+    return (dref, dsrcs, jnp.zeros_like(src_projs), jnp.zeros_like(ref_proj),
+            jnp.zeros_like(lo), jnp.zeros_like(step))
+
+
+var_sweep_volume_t.defvjp(_var_t_fwd, _var_t_bwd)
+
+
+@functools.partial(
+    jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11)
+)
+def corr_sweep_volume_t(ref, srcs, src_projs, ref_proj, lo, step,
+                        num_depth, d_chunk=16, row_band=12, col_band=128,
+                        mm_dtype=jnp.bfloat16, interpret=False):
+    """Differentiable per-view correlation sweep, gather-recompute backward."""
+    srcs_m = _merge(srcs, row_band, col_band, mm_dtype)
+    return corr_sweep_volume(
+        ref, srcs_m, src_projs, ref_proj, lo, step,
+        num_depth=num_depth, d_chunk=d_chunk, interpret=interpret,
+    )
+
+
+def _corr_t_fwd(ref, srcs, src_projs, ref_proj, lo, step, num_depth, d_chunk,
+                row_band, col_band, mm_dtype, interpret):
+    out = corr_sweep_volume_t(
+        ref, srcs, src_projs, ref_proj, lo, step, num_depth, d_chunk,
+        row_band, col_band, mm_dtype, interpret,
+    )
+    return out, (ref, srcs, src_projs, ref_proj, lo, step)
+
+
+def _corr_t_bwd(num_depth, d_chunk, row_band, col_band, mm_dtype, interpret,
+                res, g):
+    ref, srcs, src_projs, ref_proj, lo, step = res
+    _, vjp = jax.vjp(
+        lambda r, s: _xla_corr_volume(
+            r, s, src_projs, ref_proj, lo, step, num_depth),
+        ref, srcs,
+    )
+    dref, dsrcs = vjp(g.astype(jnp.float32))
+    return (dref, dsrcs, jnp.zeros_like(src_projs), jnp.zeros_like(ref_proj),
+            jnp.zeros_like(lo), jnp.zeros_like(step))
+
+
+corr_sweep_volume_t.defvjp(_corr_t_fwd, _corr_t_bwd)

@@ -27,16 +27,43 @@ def _tree_for_save(state) -> dict:
     }
 
 
+# One long-lived async checkpointer: Orbax's StandardCheckpointer saves in a
+# background thread once the device->host copy is done, so the train loop
+# (SURVEY §5 plan: async save) resumes after the copy instead of blocking on
+# directory + array serialization. At most one save is in flight; the next
+# save (or any restore / interpreter exit) waits for it.
+_CKPTR: ocp.StandardCheckpointer | None = None
+
+
+def _checkpointer() -> ocp.StandardCheckpointer:
+    global _CKPTR
+    if _CKPTR is None:
+        _CKPTR = ocp.StandardCheckpointer()
+        import atexit
+
+        atexit.register(wait_for_checkpoints)
+    return _CKPTR
+
+
+def wait_for_checkpoints():
+    """Block until any in-flight async save has committed to disk."""
+    if _CKPTR is not None:
+        _CKPTR.wait_until_finished()
+
+
 def save_checkpoint(logdir: str, state, epoch: int, metric: float | None = None,
-                    tag: str | None = None) -> str:
+                    tag: str | None = None, block: bool = False) -> str:
     name = f"model_{epoch:06d}"
     if metric is not None:
         name += f"_{metric:.4f}"
     if tag is not None:
         name += f"_{tag}"
     path = os.path.abspath(os.path.join(logdir, name))
-    with ocp.StandardCheckpointer() as ckptr:
-        ckptr.save(path, _tree_for_save(state), force=True)
+    ckptr = _checkpointer()
+    ckptr.wait_until_finished()
+    ckptr.save(path, _tree_for_save(state), force=True)
+    if block:
+        ckptr.wait_until_finished()
     return path
 
 
@@ -58,6 +85,7 @@ def _ckpt_key(name: str) -> tuple[int, int, int] | None:
 
 
 def latest_checkpoint(logdir: str) -> str | None:
+    wait_for_checkpoints()  # an in-flight save must be listable
     if not os.path.isdir(logdir):
         return None
     best = None
@@ -92,6 +120,7 @@ def restore_checkpoint(path: str, state, restore_opt: bool | None = None):
     run built with a different optimizer chain (e.g. constant lr vs schedule)
     still restores params/batch_stats/step cleanly.
     """
+    wait_for_checkpoints()  # a just-scheduled async save must be visible
     path = os.path.abspath(path)
     tree = _tree_for_save(state)
     abstract = jax.tree_util.tree_map(ocp.utils.to_shape_dtype_struct, tree)

@@ -108,6 +108,56 @@ def _reg_fuse_plan(up: bool) -> list[tuple[str, str, str]]:
     return plan
 
 
+def _red_feature_plan() -> list[tuple[str, str, str]]:
+    """Reference FeatureNet (msrednet.py:29-130, arch_mode='unet') -> flax
+    RedFeatureNet (nn/featurenet.py:96-150)."""
+    plan = []
+    trunk = [
+        ("conv0.0", "ConvBlock_0"), ("conv0.1", "ConvBlock_1"),
+        ("conv1.0", "ConvBlock_2"), ("conv1.1", "ConvBlock_3"), ("conv1.2", "ConvBlock_4"),
+        ("conv2.0", "ConvBlock_5"), ("conv2.1", "ConvBlock_6"), ("conv2.2", "ConvBlock_7"),
+    ]
+    for t, f in trunk:
+        plan.append((f"{t}.conv", f"{f}/FastConv_0", "conv"))
+        plan.append((f"{t}.bn", f"{f}/BatchNorm_0", "bn"))
+    for t, f in [("deconv1", "DeConvFuse_0"), ("deconv2", "DeConvFuse_1")]:
+        plan.append((f"{t}.deconv.conv", f"{f}/DeconvBlock_0/FastConvTranspose_0", "convt"))
+        plan.append((f"{t}.deconv.bn", f"{f}/DeconvBlock_0/BatchNorm_0", "bn"))
+        plan.append((f"{t}.conv.conv", f"{f}/ConvBlock_0/FastConv_0", "conv"))
+        plan.append((f"{t}.conv.bn", f"{f}/ConvBlock_0/BatchNorm_0", "bn"))
+    for i in range(3):
+        plan.append((f"out{i+1}", f"FastConv_{i}", "conv"))
+    return plan
+
+
+def _red_reg_plan() -> list[tuple[str, str, str]]:
+    """Reference RED_Regularization (msrednet.py:134-148, torch ConvGRUCell2 =
+    module.py:54-106) -> flax RedCell (nn/costreg.py:108-143). The flax cell
+    instantiates deepest-GRU-first, so conv_gru4 -> GNConvGRUCell_0 ...
+    conv_gru1 -> GNConvGRUCell_3. ``upconv2d`` is a stride-1 ConvTranspose2d,
+    which equals a correlation with the flipped kernel -> the flax cell's
+    plain FastConv_0 head via the 'convt' transform."""
+    plan = [
+        ("conv1.conv", "cell/ConvReLU_0/FastConv_0", "conv"),
+        ("conv2.conv", "cell/ConvReLU_1/FastConv_0", "conv"),
+        ("conv3.conv", "cell/ConvReLU_2/FastConv_0", "conv"),
+        ("upconv3.conv", "cell/ConvTransReLU_0/FastConvTranspose_0", "convt"),
+        ("upconv2.conv", "cell/ConvTransReLU_1/FastConvTranspose_0", "convt"),
+        ("upconv1.conv", "cell/ConvTransReLU_2/FastConvTranspose_0", "convt"),
+        ("upconv2d", "cell/FastConv_0", "convt"),
+    ]
+    for gru, cellname in [("conv_gru4", "GNConvGRUCell_0"), ("conv_gru3", "GNConvGRUCell_1"),
+                          ("conv_gru2", "GNConvGRUCell_2"), ("conv_gru1", "GNConvGRUCell_3")]:
+        plan += [
+            (f"{gru}.gate_conv", f"cell/{cellname}/FastConv_0", "conv"),
+            (f"{gru}.reset_gate_norm", f"cell/{cellname}/GroupNorm_0", "gn"),
+            (f"{gru}.update_gate_norm", f"cell/{cellname}/GroupNorm_1", "gn"),
+            (f"{gru}.output_conv", f"cell/{cellname}/FastConv_1", "conv"),
+            (f"{gru}.output_norm", f"cell/{cellname}/GroupNorm_2", "gn"),
+        ]
+    return plan
+
+
 def _set(tree: dict, path: str, leaf_name: str, value: np.ndarray):
     node = tree
     for part in path.split("/"):
@@ -124,7 +174,11 @@ def _apply_plan(sd: Mapping[str, Any], prefix: str, plan, params: dict,
                 stats: dict, consumed: set):
     for tname, fpath, kind in plan:
         full = f"{prefix}{tname}"
-        if kind == "bn":
+        if kind == "gn":
+            _set(params, fpath, "scale", _np(sd[f"{full}.weight"]))
+            _set(params, fpath, "bias", _np(sd[f"{full}.bias"]))
+            consumed.update({f"{full}.weight", f"{full}.bias"})
+        elif kind == "bn":
             _set(params, fpath, "scale", _np(sd[f"{full}.weight"]))
             _set(params, fpath, "bias", _np(sd[f"{full}.bias"]))
             _set(stats, fpath, "mean", _np(sd[f"{full}.running_mean"]))
@@ -171,6 +225,45 @@ def import_adamvs_state_dict(sd: Mapping[str, Any], variables: dict) -> tuple[di
     if unexpected:
         raise ValueError(f"unmapped reference weights: {unexpected[:10]}")
     return variables, skipped
+
+
+def import_msrednet_state_dict(sd: Mapping[str, Any], variables: dict) -> tuple[dict, list[str]]:
+    """Map a reference CascadeREDNet state_dict (msrednet.py:246-277:
+    ``feature`` = FeatureNet-unet, ``cost_regularization.{0,1,2}`` =
+    RED_Regularization; ``DepthNet`` is parameter-free) into flax
+    ``variables`` from a default-config ``MSREDNet.init``.
+    Returns (new_variables, skipped_keys)."""
+    import copy
+
+    sd = {k.removeprefix("module."): v for k, v in sd.items()}
+    variables = copy.deepcopy(jax_to_mutable(variables))
+    params, stats = variables["params"], variables["batch_stats"]
+    consumed: set = set()
+
+    _apply_plan(sd, "feature.",
+                [(t, f"feature/{f}", k) for t, f, k in _red_feature_plan()],
+                params, stats, consumed)
+    for i in range(3):
+        _apply_plan(sd, f"cost_regularization.{i}.",
+                    [(t, f"reg{i+1}/{f}", k) for t, f, k in _red_reg_plan()],
+                    params, stats, consumed)
+
+    skipped = sorted(k for k in sd if k not in consumed)
+    if skipped:
+        raise ValueError(f"unmapped reference weights: {skipped[:10]}")
+    return variables, skipped
+
+
+def import_msrednet_checkpoint(path_or_sd, variables: dict) -> tuple[dict, list[str]]:
+    """Accepts a reference .ckpt path, a full ckpt dict, or a bare state_dict."""
+    sd = path_or_sd
+    if isinstance(sd, str):
+        import torch
+
+        sd = torch.load(sd, map_location="cpu", weights_only=False)
+    if isinstance(sd, Mapping) and "model" in sd and not any("." in k for k in sd):
+        sd = sd["model"]
+    return import_msrednet_state_dict(sd, variables)
 
 
 def jax_to_mutable(tree):

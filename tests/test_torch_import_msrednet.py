@@ -1,0 +1,274 @@
+"""Cross-framework parity for the MS-REDNet family: torch replicas of the
+reference CascadeREDNet modules (msrednet.py:29-181, 246-277; ConvGRUCell2 =
+module.py:54-106), randomized weights imported via
+``import_msrednet_state_dict``, forwards compared layer-by-layer AND through a
+full stage (warp + variance aggregation + recurrent regularization + softmax
+regression) on non-identity cameras.
+
+The replica classes use the reference's attribute names so their state_dicts
+are byte-compatible with a real reference checkpoint — they are the parity
+apparatus, not product code.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import torch
+import torch.nn as tnn
+import torch.nn.functional as F
+
+from adamvs_tpu.models import MSREDNet
+from adamvs_tpu.nn.costreg import RedCell
+from adamvs_tpu.nn.featurenet import RedFeatureNet
+from adamvs_tpu.train.torch_import import import_msrednet_state_dict
+
+from tests.test_torch_import import (
+    TConv,
+    TConvReLU,
+    TDeConv2dFuse,
+    _randomized_state_dict,
+)
+
+KEY = jax.random.PRNGKey(0)
+
+
+class TConvTransReLU(tnn.Module):  # reference ConvTransReLU, module.py:294-301
+    def __init__(self, ci, co, k=3):
+        super().__init__()
+        self.conv = tnn.ConvTranspose2d(ci, co, k, stride=2, padding=1,
+                                        output_padding=1, bias=False)
+
+    def forward(self, x):
+        return F.relu(self.conv(x))
+
+
+class TConvGRU2(tnn.Module):  # reference ConvGRUCell2, module.py:54-106
+    def __init__(self, ci, hidden, k=3):
+        super().__init__()
+        self.gate_conv = tnn.Conv2d(ci + hidden, 2 * hidden, k, padding=1)
+        self.reset_gate_norm = tnn.GroupNorm(1, hidden, 1e-5, True)
+        self.update_gate_norm = tnn.GroupNorm(1, hidden, 1e-5, True)
+        self.output_conv = tnn.Conv2d(ci + hidden, hidden, k, padding=1)
+        self.output_norm = tnn.GroupNorm(1, hidden, 1e-5, True)
+
+    def forward(self, x, h):
+        f = self.gate_conv(torch.cat((x, h), dim=1))
+        r, u = torch.split(f, f.shape[1] // 2, 1)
+        r = torch.sigmoid(self.reset_gate_norm(r))
+        u = torch.sigmoid(self.update_gate_norm(u))
+        o = self.output_conv(torch.cat((x, r * h), dim=1))
+        y = torch.tanh(self.output_norm(o))
+        out = u * h + (1 - u) * y
+        return out, out
+
+
+class TRedReg(tnn.Module):  # reference RED_Regularization, msrednet.py:134-181
+    def __init__(self, ci, b=8):
+        super().__init__()
+        self.conv_gru1 = TConvGRU2(ci, b)
+        self.conv_gru2 = TConvGRU2(2 * b, 2 * b)
+        self.conv_gru3 = TConvGRU2(4 * b, 4 * b)
+        self.conv_gru4 = TConvGRU2(8 * b, 8 * b)
+        self.conv1 = TConvReLU(ci, 2 * b, 3, 2)
+        self.conv2 = TConvReLU(2 * b, 4 * b, 3, 2)
+        self.conv3 = TConvReLU(4 * b, 8 * b, 3, 2)
+        self.upconv3 = TConvTransReLU(8 * b, 4 * b)
+        self.upconv2 = TConvTransReLU(4 * b, 2 * b)
+        self.upconv1 = TConvTransReLU(2 * b, b)
+        self.upconv2d = tnn.ConvTranspose2d(b, 1, 3, stride=1, padding=1,
+                                            output_padding=0)
+
+    def forward_slice(self, cost, s1, s2, s3, s4):
+        """One depth slice (the reference's loop body, msrednet.py:162-177)."""
+        x = -cost
+        c1 = self.conv1(x)
+        c2 = self.conv2(c1)
+        c3 = self.conv3(c2)
+        r4, s4 = self.conv_gru4(c3, s4)
+        u3 = self.upconv3(r4)
+        r3, s3 = self.conv_gru3(c2, s3)
+        u2 = self.upconv2(u3 + r3)
+        r2, s2 = self.conv_gru2(c1, s2)
+        u1 = self.upconv1(u2 + r2)
+        r1, s1 = self.conv_gru1(x, s1)
+        out = self.upconv2d(u1 + r1)
+        return out, s1, s2, s3, s4
+
+
+class TRedFeature(tnn.Module):  # reference FeatureNet unet, msrednet.py:29-130
+    def __init__(self, b=8):
+        super().__init__()
+        self.conv0 = tnn.Sequential(TConv(3, b, 3), TConv(b, b, 3))
+        self.conv1 = tnn.Sequential(TConv(b, 2 * b, 5, 2), TConv(2 * b, 2 * b, 3),
+                                    TConv(2 * b, 2 * b, 3))
+        self.conv2 = tnn.Sequential(TConv(2 * b, 4 * b, 5, 2), TConv(4 * b, 4 * b, 3),
+                                    TConv(4 * b, 4 * b, 3))
+        self.out1 = tnn.Conv2d(4 * b, 4 * b, 1, bias=False)
+        self.deconv1 = TDeConv2dFuse(4 * b, 2 * b, 3)
+        self.deconv2 = TDeConv2dFuse(2 * b, b, 3)
+        self.out2 = tnn.Conv2d(2 * b, 2 * b, 1, bias=False)
+        self.out3 = tnn.Conv2d(b, b, 1, bias=False)
+
+    def forward(self, x):
+        c0 = self.conv0(x)
+        c1 = self.conv1(c0)
+        c2 = self.conv2(c1)
+        out = {"stage1": self.out1(c2)}
+        intra = self.deconv1(c1, c2)
+        out["stage2"] = self.out2(intra)
+        intra = self.deconv2(c0, intra)
+        out["stage3"] = self.out3(intra)
+        return out
+
+
+class TCascadeREDNet(tnn.Module):  # msrednet.py:246-277 naming
+    def __init__(self, b=8):
+        super().__init__()
+        self.feature = TRedFeature(b)
+        self.cost_regularization = tnn.ModuleList(
+            [TRedReg(ci, b) for ci in (4 * b, 2 * b, b)]
+        )
+
+
+def torch_homo_warp(src, src_proj, ref_proj, depth):
+    """Reference homo_warping_float (module.py:527-568): back-project the ref
+    pixel grid at each hypothesis, project into the source, bilinear
+    grid_sample with zeros padding and align_corners=True."""
+    B, C, H, W = src.shape
+    D = depth.shape[1]
+    proj = torch.matmul(torch.tensor(src_proj), torch.inverse(torch.tensor(ref_proj)))
+    rot, trans = proj[:, :3, :3], proj[:, :3, 3:4]
+    y, x = torch.meshgrid(torch.arange(H, dtype=torch.float32),
+                          torch.arange(W, dtype=torch.float32), indexing="ij")
+    xyz = torch.stack((x.reshape(-1), y.reshape(-1), torch.ones(H * W)))  # [3,HW]
+    xyz = rot @ xyz.unsqueeze(0)  # [B,3,HW]
+    xyz = xyz.unsqueeze(2) * depth.reshape(B, 1, D, H * W) + trans.unsqueeze(3)
+    xy = xyz[:, :2] / xyz[:, 2:3]  # [B,2,D,HW]
+    gx = xy[:, 0] / ((W - 1) / 2) - 1
+    gy = xy[:, 1] / ((H - 1) / 2) - 1
+    grid = torch.stack((gx, gy), dim=-1).reshape(B, D * H, W, 2)
+    out = F.grid_sample(src, grid, mode="bilinear", padding_mode="zeros",
+                        align_corners=True)
+    return out.reshape(B, C, D, H, W)
+
+
+def _import_tiny():
+    tm = TCascadeREDNet()
+    sd = _randomized_state_dict(tm, seed=11)
+    model = MSREDNet(ndepths=(8, 4, 4), depth_intervals_ratio=(4.0, 2.0, 1.0),
+                     base=8, cr_base=(8, 8, 8))
+    imgs = jnp.zeros((1, 2, 64, 64, 3), jnp.float32)
+    projs = {f"stage{k}": jnp.tile(jnp.eye(4), (1, 2, 1, 1)).astype(jnp.float32)
+             for k in (1, 2, 3)}
+    dv = jnp.asarray([[300.0, 500.0, 25.0]], jnp.float32)
+    variables = model.init(KEY, imgs, projs, dv)
+    new_vars, skipped = import_msrednet_state_dict(sd, variables)
+    assert skipped == []
+    return tm, model, new_vars
+
+
+def test_red_feature_forward_parity():
+    tm, _, variables = _import_tiny()
+    rng = np.random.RandomState(1)
+    x = rng.randn(1, 64, 64, 3).astype(np.float32)
+    with torch.no_grad():
+        ref = tm.feature(torch.tensor(x.transpose(0, 3, 1, 2)))
+    fvars = {"params": variables["params"]["feature"],
+             "batch_stats": variables["batch_stats"]["feature"]}
+    out = RedFeatureNet(8).apply(fvars, jnp.asarray(x), False)
+    for k in ("stage1", "stage2", "stage3"):
+        got = np.asarray(out[k]).transpose(0, 3, 1, 2)
+        np.testing.assert_allclose(got, ref[k].numpy(), rtol=1e-4, atol=1e-4)
+
+
+def test_red_reg_recurrent_parity():
+    """3 depth slices through the 4-level GN-GRU encoder-decoder, all four
+    states carried — torch slice loop vs our scan cell, every stage."""
+    tm, _, variables = _import_tiny()
+    rng = np.random.RandomState(2)
+    h, w = 16, 24
+    for idx, ci in enumerate((32, 16, 8)):
+        cell = RedCell(8)
+        cvars = {"params": variables["params"][f"reg{idx+1}"]["cell"]}
+        carry = cell.init_carry(1, h, w)
+        states = [torch.zeros(1, c, h // s, w // s)
+                  for c, s in ((8, 1), (16, 2), (32, 4), (64, 8))]
+        red = tm.cost_regularization[idx]
+        for d in range(3):
+            cost = rng.randn(1, h, w, ci).astype(np.float32)
+            with torch.no_grad():
+                ref, *states = red.forward_slice(
+                    torch.tensor(cost.transpose(0, 3, 1, 2)), *states)
+            carry, out = cell.apply(cvars, carry, jnp.asarray(cost))
+            np.testing.assert_allclose(
+                np.asarray(out).transpose(0, 3, 1, 2), ref.numpy(),
+                rtol=1e-4, atol=1e-4, err_msg=f"stage{idx+1} slice {d}")
+
+
+def _real_cameras(B, V, h, w, f=80.0, baseline=0.8):
+    """Non-identity stage projections: intrinsics + per-view x-baselines."""
+    proj = np.tile(np.eye(4, dtype=np.float32), (B, V, 1, 1))
+    for v in range(V):
+        proj[:, v, 0, 0] = f
+        proj[:, v, 1, 1] = f
+        proj[:, v, 0, 2] = w / 2
+        proj[:, v, 1, 2] = h / 2
+        proj[:, v, 0, 3] = f * baseline * v
+    return proj
+
+
+def test_msrednet_stage_torch_parity():
+    """Whole-stage cross-framework parity on real (non-identity) cameras:
+    torch warp (module.py:527-568) + variance aggregation (msrednet.py:214-231)
+    + recurrent regularization + softmax depth regression vs the flax model's
+    stage-1 output. Catches fusion/eps/warp-convention mismatches that
+    submodule tests cannot (VERDICT r3 missing #2)."""
+    tm, model, variables = _import_tiny()
+    rng = np.random.RandomState(3)
+    B, V, H, W = 1, 3, 64, 64
+    h, w, D, C = H // 4, W // 4, 8, 32
+    imgs = rng.randn(B, V, H, W, 3).astype(np.float32)
+    dmin, dmax = 300.0, 500.0
+    dv = np.array([[dmin, dmax, 25.0]], np.float32)
+    projs = {}
+    for k, s in (("stage1", 4), ("stage2", 2), ("stage3", 1)):
+        p = _real_cameras(B, V, H, W)
+        p[:, :, :2, :] /= s
+        projs[k] = p
+
+    # flax full forward (streaming scan path)
+    out = model.apply(variables, jnp.asarray(imgs),
+                      {k: jnp.asarray(v) for k, v in projs.items()},
+                      jnp.asarray(dv), train=False)
+    got = np.asarray(out["stage1"]["depth"])
+
+    # torch replica of the stage: features -> warp -> variance -> RED -> softmax
+    with torch.no_grad():
+        feats = [tm.feature(torch.tensor(imgs[:, v].transpose(0, 3, 1, 2)))
+                 for v in range(V)]
+        ref_f = feats[0]["stage1"]
+        hyp = torch.tensor(
+            dmin + np.arange(D, dtype=np.float32) * (dmax - dmin) / (D - 1)
+        ).reshape(1, D, 1, 1).expand(B, D, h, w)
+        s = ref_f.unsqueeze(2).expand(B, C, D, h, w).contiguous()
+        sq = s ** 2
+        for v in range(1, V):
+            warped = torch_homo_warp(feats[v]["stage1"],
+                                     projs["stage1"][:, v], projs["stage1"][:, 0], hyp)
+            s = s + warped
+            sq = sq + warped ** 2
+        variance = sq / V - (s / V) ** 2  # [B,C,D,h,w]
+        states = [torch.zeros(1, c, h // st, w // st)
+                  for c, st in ((8, 1), (16, 2), (32, 4), (64, 8))]
+        costs = []
+        for d in range(D):
+            c_slice, *states = tm.cost_regularization[0].forward_slice(
+                variance[:, :, d], *states)
+            costs.append(c_slice[:, 0])
+        cost = torch.stack(costs, dim=1)  # [B,D,h,w]
+        prob = torch.softmax(cost, dim=1)
+        want = torch.sum(prob * hyp, dim=1).numpy()
+
+    scale = dmax - dmin
+    err = np.abs(got - want) / scale
+    assert err.max() < 2e-3, f"stage depth mismatch: rel max {err.max():.2e}"
