@@ -46,34 +46,47 @@ def _band_ref_proj(proj_stage: jnp.ndarray, row_start) -> jnp.ndarray:
 def tiled_forward(
     model,
     variables: dict,
-    imgs: jnp.ndarray,  # [1,V,H,W,3]
+    imgs: jnp.ndarray | None,  # [1,V,H,W,3]
     proj_matrices: dict[str, jnp.ndarray],
     depth_values: jnp.ndarray,
     mesh: Mesh,
     num_depth: int | None = None,
     halo: int = HALO_ROWS,
+    features: dict[str, jnp.ndarray] | None = None,
 ):
     """Full-frame forward with rows sharded over mesh axis 'tile'.
 
+    ``features``: optional precomputed full-frame pyramid
+    {stageK: [B,V,h,w,C]} (e.g. from the engine's cross-sample cache);
+    ``imgs`` may be None then.
+
     Returns (depth [1,H,W], confidence [1,H,W]) with row-sharded layout.
     """
-    B, V, H, W = imgs.shape[:4]
-    n_tiles = mesh.shape["tile"]
     num_stages = len(model.ndepths)
+    if features is not None:
+        # stage1 always sits at 1/4 image resolution (3-scale feature trunk)
+        f1 = features["stage1"]
+        B, V = f1.shape[:2]
+        H, W = f1.shape[2] * 4, f1.shape[3] * 4
+        feats_full = features
+    else:
+        B, V, H, W = imgs.shape[:4]
+    n_tiles = mesh.shape["tile"]
     assert H % 32 == 0, f"H={H} must be a multiple of 32 (pad first)"
     assert H % (n_tiles * 4) == 0, f"H={H} must divide into {n_tiles} 4-aligned bands"
     rows = H // n_tiles
     # the cascade's down/up chains need 32-divisible band heights
     band_h = min(H, -(-(rows + 2 * halo) // 32) * 32)
 
-    # 1. full-frame features, replicated
-    feat_mod = model.feature_module()
-    feat_vars = {"params": variables["params"]["feature"]}
-    if "batch_stats" in variables and "feature" in variables["batch_stats"]:
-        feat_vars["batch_stats"] = variables["batch_stats"]["feature"]
-    flat = imgs.reshape((B * V,) + imgs.shape[2:])
-    feats_full = feat_mod.apply(feat_vars, flat, False)
-    feats_full = {k: v.reshape((B, V) + v.shape[1:]) for k, v in feats_full.items()}
+    if features is None:
+        # 1. full-frame features, replicated
+        feat_mod = model.feature_module()
+        feat_vars = {"params": variables["params"]["feature"]}
+        if "batch_stats" in variables and "feature" in variables["batch_stats"]:
+            feat_vars["batch_stats"] = variables["batch_stats"]["feature"]
+        flat = imgs.reshape((B * V,) + imgs.shape[2:])
+        feats_full = feat_mod.apply(feat_vars, flat, False)
+        feats_full = {k: v.reshape((B, V) + v.shape[1:]) for k, v in feats_full.items()}
 
     # final output resolution factor (AdaMVS 2-stage cascades end 2x above
     # the last stage's input res; 3-stage ends at full res)
@@ -89,7 +102,9 @@ def tiled_forward(
         band_projs = {}
         for k in range(1, num_stages + 1):
             key = f"stage{k}"
-            s = 2 ** (num_stages - k)
+            # stage k features sit at 1/2^(3-k) image res for ANY cascade
+            # length (the trunk is always 3-scale: H/4, H/2, H)
+            s = 2 ** (3 - k)
             fs = feats_full[key]  # [B,V,h,w,C]
             start_s = start // s
             ref_band = jax.lax.dynamic_slice_in_dim(fs[:, 0], start_s, band_h // s, axis=1)
@@ -124,6 +139,22 @@ def make_tiled_predict_fn(model, mesh: Mesh, num_depth: int, halo: int = HALO_RO
     def fn(variables, imgs, projs, dv):
         return tiled_forward(
             model, variables, imgs, projs, dv, mesh, num_depth=num_depth, halo=halo
+        )
+
+    return fn
+
+
+def make_tiled_predict_feat_fn(model, mesh: Mesh, num_depth: int,
+                               halo: int = HALO_ROWS):
+    """Jitted (variables, features, projs, depth_values) -> (depth, conf) —
+    the cache-composable form: full-frame pyramids come from the engine's
+    cross-sample feature cache instead of being recomputed per work item."""
+
+    @jax.jit
+    def fn(variables, features, projs, dv):
+        return tiled_forward(
+            model, variables, None, projs, dv, mesh, num_depth=num_depth,
+            halo=halo, features=features,
         )
 
     return fn

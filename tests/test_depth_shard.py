@@ -25,6 +25,8 @@ from adamvs_tpu.ops.regression import (
 
 KEY = jax.random.PRNGKey(0)
 
+pytestmark = pytest.mark.slow  # heavy tier; excluded from the default run
+
 
 def test_online_softmax_merge_equals_full_scan():
     rng = np.random.RandomState(0)

@@ -21,6 +21,9 @@ from adamvs_tpu.models import AdaMVS, cas_mvs_vis_loss
 from adamvs_tpu.ops.regression import resize_bilinear
 from adamvs_tpu.train import create_train_state, make_optimizer, make_train_step
 from adamvs_tpu.train.metrics import eval_metrics
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy tier; excluded from the default run
 
 GOLDEN = os.path.join(os.path.dirname(__file__), "goldens", "adamvs_predict_golden.npz")
 

@@ -12,6 +12,8 @@ import pytest
 from adamvs_tpu.geom import proj_matrix, stage_proj_matrices
 from adamvs_tpu.models import AdaMVS, MSREDNet, cas_mvs_vis_loss, cas_rednet_loss
 
+pytestmark = pytest.mark.slow  # heavy tier; excluded from the default run
+
 KEY = jax.random.PRNGKey(0)
 
 

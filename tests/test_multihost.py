@@ -11,6 +11,9 @@ import sys
 import textwrap
 
 import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy tier; excluded from the default run
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 

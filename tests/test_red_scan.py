@@ -16,6 +16,8 @@ import pytest
 from adamvs_tpu.nn.costreg import AdaRedCell
 from adamvs_tpu.ops.red_scan import ada_red_scan, pack_red_params, spatialize
 
+pytestmark = pytest.mark.slow  # heavy tier; excluded from the default run
+
 
 def _ref_scan(cell, variables, vol):
     """nn.scan-free reference: python loop of the flax cell over depth."""

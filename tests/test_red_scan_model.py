@@ -12,6 +12,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 from adamvs_tpu.models import AdaMVS
 from adamvs_tpu.models.adamvs import pack_reg_params
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy tier; excluded from the default run
 
 
 def test_model_pallas_reg_matches_scan(synthetic_scene):

@@ -19,6 +19,8 @@ from adamvs_tpu.ops.sweep_fuse import (
 )
 from adamvs_tpu.ops.warp import plane_sweep_warp
 
+pytestmark = pytest.mark.slow  # heavy tier; excluded from the default run
+
 
 def make_case(seed, B, Vs, h, w, C, noise=2.0):
     rng = np.random.RandomState(seed)

@@ -16,6 +16,8 @@ from adamvs_tpu.ops.sweep_fuse import (
     fused_sweep_volume_t,
 )
 
+pytestmark = pytest.mark.slow  # heavy tier; excluded from the default run
+
 KEY = jax.random.PRNGKey(0)
 
 

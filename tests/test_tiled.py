@@ -9,6 +9,8 @@ from adamvs_tpu.models import AdaMVS, MSREDNet
 from adamvs_tpu.parallel import make_mesh
 from adamvs_tpu.predict.tiled import tiled_forward
 
+pytestmark = pytest.mark.slow  # heavy tier; excluded from the default run
+
 KEY = jax.random.PRNGKey(0)
 
 

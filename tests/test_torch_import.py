@@ -20,6 +20,9 @@ from adamvs_tpu.models import AdaMVS
 from adamvs_tpu.nn.costreg import AdaRedCell, CostRegNet2D
 from adamvs_tpu.nn.featurenet import AdaFeatureNet
 from adamvs_tpu.train.torch_import import import_adamvs_state_dict
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy tier; excluded from the default run
 
 KEY = jax.random.PRNGKey(0)
 

@@ -28,6 +28,9 @@ from tests.test_torch_import import (
     TDeConv2dFuse,
     _randomized_state_dict,
 )
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy tier; excluded from the default run
 
 KEY = jax.random.PRNGKey(0)
 

@@ -24,6 +24,8 @@ from adamvs_tpu.train import (
 )
 from adamvs_tpu.train.metrics import abs_depth_error, interval_metric, threshold_metric
 
+pytestmark = pytest.mark.slow  # heavy tier; excluded from the default run
+
 KEY = jax.random.PRNGKey(0)
 
 
