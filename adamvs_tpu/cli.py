@@ -46,10 +46,12 @@ def _add_model_flags(p: argparse.ArgumentParser):
     p.add_argument("--warp_impl", default="gather", choices=["gather", "banded", "pallas", "pallas2", "pallas2bf16"])
     p.add_argument("--sweep_impl", default="scan", choices=["scan", "fused", "fusedf32"],
                    help="fused: one-Pallas-call plane sweep per stage (adamvs predict path)")
-    p.add_argument("--reg_impl", default="scan", choices=["scan", "pallas"],
-                   help="pallas: whole recurrent-regularizer depth scan in one "
-                        "Pallas kernel per stage (adamvs inference, needs "
-                        "--sweep_impl fused)")
+    p.add_argument("--reg_impl", default="scan",
+                   choices=["scan", "pallas", "precomp"],
+                   help="pallas (adamvs): whole recurrent-regularizer depth "
+                        "scan in one Pallas kernel per stage; precomp "
+                        "(msrednet): input-side convs batched over D outside "
+                        "the scan. Both inference-only, need --sweep_impl fused")
     p.add_argument("--compute_dtype", default="f32", choices=["f32", "bf16"])
     p.add_argument("--distributed", action="store_true",
                    help="initialize the multi-host JAX runtime (parallel/distributed.py)")

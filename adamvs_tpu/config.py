@@ -37,9 +37,11 @@ class ModelConfig:
     # scan: per-depth warp inside the recurrent scan; fused/fusedf32: one
     # Pallas plane-sweep call per stage (adamvs only; ops/sweep_fuse.py)
     sweep_impl: str = "scan"
-    # scan: recurrent regularizer as an XLA scan over depth slices; pallas:
-    # the whole depth recurrence in one Pallas kernel per stage
-    # (ops/red_scan.py) — inference-only, requires sweep_impl fused.
+    # scan: recurrent regularizer as an XLA scan over depth slices.
+    # adamvs 'pallas': the whole depth recurrence in one Pallas kernel per
+    # stage (ops/red_scan.py). msrednet 'precomp': input-side convs batched
+    # over D outside the scan (models/msrednet.py red_precomp_cost).
+    # Both inference-only; require sweep_impl fused.
     reg_impl: str = "scan"
     dtype: str = "f32"  # f32 | bf16
 
@@ -56,8 +58,13 @@ class ModelConfig:
             warp_impl=self.warp_impl,
         )
         kwargs["sweep_impl"] = self.sweep_impl
-        if self.model == "adamvs":
-            kwargs["reg_impl"] = self.reg_impl
+        valid_reg = {"adamvs": ("scan", "pallas"), "msrednet": ("scan", "precomp")}
+        if self.reg_impl not in valid_reg.get(self.model, ("scan",)):
+            raise ValueError(
+                f"reg_impl={self.reg_impl!r} is not valid for model "
+                f"{self.model!r} (choices: {valid_reg.get(self.model)})"
+            )
+        kwargs["reg_impl"] = self.reg_impl
         if self.dtype == "bf16":
             kwargs["dtype"] = jnp.bfloat16
         if self.model == "msrednet":

@@ -87,6 +87,24 @@ def pack_reg_params(model, variables) -> tuple:
     )
 
 
+def model_pack_reg(model, variables):
+    """Family dispatcher used by PredictEngine/bench: the per-stage packed
+    regularizer tree for whatever ``reg_impl`` the model is configured with
+    (AdaMVS 'pallas' -> matmul matrices; MSREDNet 'precomp' -> raw cell
+    subtrees)."""
+    impl = getattr(model, "reg_impl", "scan")
+    if impl == "scan":
+        return None
+    if impl == "pallas":
+        return pack_reg_params(model, variables)
+    if impl == "precomp":
+        n = len(model.ndepths)
+        return tuple(
+            variables["params"][f"reg{i + 1}"]["cell"] for i in range(n)
+        )
+    raise ValueError(f"unknown reg_impl {impl!r}")
+
+
 def parse_depth_values(depth_values: jnp.ndarray, num_depth: int | None):
     """(dmin [B], dmax [B], interval [B]) from the two input conventions:
     train [B,3]=[min,max,interval] (adamvs.py:344-347) or predict

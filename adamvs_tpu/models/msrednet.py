@@ -43,7 +43,9 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from ..nn.blocks import ConvReLU, ConvTransReLU
 from ..nn.costreg import RedCell
+from ..nn.fastconv import FastConv
 from ..nn.featurenet import RedFeatureNet
 from ..ops.regression import (
     online_softmax_finalize,
@@ -52,7 +54,13 @@ from ..ops.regression import (
     resize_bilinear,
 )
 from ..ops.sampling import window_min_and_interval
-from ..ops.sweep_fuse import fold_grid, merge_sources, unfold_tiles, var_sweep_volume
+from ..ops.sweep_fuse import (
+    fold_grid,
+    merge_sources,
+    unfold_tiles,
+    var_sweep_volume,
+    var_sweep_volume_t,
+)
 from ..ops.warp import plane_sweep_warp
 from .adamvs import _num_src, get_warp_fn, parse_depth_values, prepare_warp_sources
 
@@ -111,6 +119,111 @@ class _RedIdxStreamCell(nn.Module):
         return (red_carry, acc), jnp.float32(0.0)
 
 
+def red_precomp_cost(cell_params: dict, var_all: jnp.ndarray, base: int,
+                     dtype=None) -> jnp.ndarray:
+    """The 4-level GN-GRU recurrence (reference RED_Regularization,
+    msrednet.py:134-181) restructured for the TPU's serial-scan economics:
+
+    - every INPUT-side conv — the encoder pyramid c1..c3 and the x-half of
+      each GRU's gates/candidate convs (conv over concat(x,h) splits by
+      linearity into conv_x(x) + conv_h(h)) — is batched over the whole depth
+      axis OUTSIDE the scan: large [D*B] MXU convs instead of D per-slice
+      dispatches;
+    - the scan carries only the 4 GN-GRU states and per step runs just the
+      small h-side convs + GroupNorm + elementwise cell math. GroupNorm's
+      statistics are GLOBAL over (H, W, C) per slice (module.py:54-106),
+      which is why the halo-tiled Pallas skeleton of ops/red_scan.py cannot
+      be reused here — row tiles cannot normalize independently;
+    - the decoder (upconv chain, depth-independent given the emitted r_k)
+      runs batched over D after the scan.
+
+    ``cell_params``: the flax RedCell subtree (same checkpoint as the scan
+    path). ``var_all`` [D,B,h,w,C] -> regularized cost [D,B,h,w].
+    Inference-only by design: parameters arrive as data, so gradients would
+    not reach the train state (the scan path remains the training path).
+    """
+    D, B, h, w, C = var_all.shape
+    b = base
+    dt = dtype
+    x = (-var_all).reshape(D * B, h, w, C)
+
+    c1 = ConvReLU(2 * b, 3, 2, dtype=dt).apply(
+        {"params": cell_params["ConvReLU_0"]}, x)
+    c2 = ConvReLU(4 * b, 3, 2, dtype=dt).apply(
+        {"params": cell_params["ConvReLU_1"]}, c1)
+    c3 = ConvReLU(8 * b, 3, 2, dtype=dt).apply(
+        {"params": cell_params["ConvReLU_2"]}, c2)
+
+    # (flax cell name, hidden, batched input); order = reference conv_gru1..4
+    levels = [
+        ("GNConvGRUCell_3", b, x),
+        ("GNConvGRUCell_2", 2 * b, c1),
+        ("GNConvGRUCell_1", 4 * b, c2),
+        ("GNConvGRUCell_0", 8 * b, c3),
+    ]
+    gx, cx, hside = [], [], []
+    for name, ch, inp in levels:
+        p = cell_params[name]
+        kg, bg = p["FastConv_0"]["kernel"], p["FastConv_0"]["bias"]
+        kc, bc = p["FastConv_1"]["kernel"], p["FastConv_1"]["bias"]
+        cin = inp.shape[-1]
+        g = FastConv(2 * ch, (3, 3), use_bias=True, dtype=dt).apply(
+            {"params": {"kernel": kg[:, :, :cin], "bias": bg}}, inp)
+        c = FastConv(ch, (3, 3), use_bias=True, dtype=dt).apply(
+            {"params": {"kernel": kc[:, :, :cin], "bias": bc}}, inp)
+        hh, ww = inp.shape[1:3]
+        gx.append(g.reshape(D, B, hh, ww, 2 * ch))
+        cx.append(c.reshape(D, B, hh, ww, ch))
+        hside.append((
+            kg[:, :, cin:], kc[:, :, cin:],
+            p["GroupNorm_0"], p["GroupNorm_1"], p["GroupNorm_2"], ch,
+            (hh, ww),
+        ))
+
+    def gru_step(hk, gxk, cxk, lvl):
+        khg, khc, gn_r, gn_u, gn_o, ch, _ = lvl
+        gates = gxk + FastConv(2 * ch, (3, 3), use_bias=False, dtype=dt).apply(
+            {"params": {"kernel": khg}}, hk)
+        gn = nn.GroupNorm(num_groups=1, epsilon=1e-5, dtype=dt)
+        r = nn.sigmoid(gn.apply({"params": gn_r}, gates[..., :ch]))
+        u = nn.sigmoid(gn.apply({"params": gn_u}, gates[..., ch:]))
+        o = cxk + FastConv(ch, (3, 3), use_bias=False, dtype=dt).apply(
+            {"params": {"kernel": khc}}, r * hk)
+        cand = nn.tanh(gn.apply({"params": gn_o}, o))
+        hk = u * hk + (1 - u) * cand
+        return hk
+
+    carry0 = tuple(
+        jnp.zeros((B,) + lvl[6] + (lvl[5],), dt or jnp.float32) for lvl in hside
+    )
+
+    def body(carry, inp):
+        gx1, gx2, gx3, gx4, cx1, cx2, cx3, cx4 = inp
+        h1, h2, h3, h4 = carry
+        h1 = gru_step(h1, gx1, cx1, hside[0])
+        h2 = gru_step(h2, gx2, cx2, hside[1])
+        h3 = gru_step(h3, gx3, cx3, hside[2])
+        h4 = gru_step(h4, gx4, cx4, hside[3])
+        return (h1, h2, h3, h4), (h1, h2, h3, h4)
+
+    _, (r1, r2, r3, r4) = jax.lax.scan(
+        body, carry0, (gx[0], gx[1], gx[2], gx[3], cx[0], cx[1], cx[2], cx[3])
+    )
+
+    r1, r2, r3, r4 = (
+        v.reshape((D * B,) + v.shape[2:]) for v in (r1, r2, r3, r4)
+    )
+    u3 = ConvTransReLU(4 * b, dtype=dt).apply(
+        {"params": cell_params["ConvTransReLU_0"]}, r4)
+    u2 = ConvTransReLU(2 * b, dtype=dt).apply(
+        {"params": cell_params["ConvTransReLU_1"]}, u3 + r3)
+    u1 = ConvTransReLU(b, dtype=dt).apply(
+        {"params": cell_params["ConvTransReLU_2"]}, u2 + r2)
+    cost = FastConv(1, (3, 3), use_bias=True, dtype=dt).apply(
+        {"params": cell_params["FastConv_0"]}, u1 + r1)
+    return cost[..., 0].reshape(D, B, h, w)
+
+
 class MSREDNet(nn.Module):
     """Cascade orchestrator (reference CascadeREDNet msrednet.py:246-334)."""
 
@@ -128,6 +241,11 @@ class MSREDNet(nn.Module):
     sweep_impl: str = "scan"
     fuse_bands: tuple[int, int] = (12, 128)
     fuse_d_chunk: int = 16
+    # "scan": per-slice RedCell inside the depth scan. "precomp": input-side
+    # convs batched over D outside the scan + thin GN-GRU scan + batched
+    # decoder (red_precomp_cost) — inference-only, requires sweep_impl
+    # "fused"/"fusedf32" and ``packed_reg`` (model_pack_reg) in __call__.
+    reg_impl: str = "scan"
 
     def feature_module(self) -> nn.Module:
         return RedFeatureNet(
@@ -144,6 +262,7 @@ class MSREDNet(nn.Module):
         train: bool = False,
         num_depth: int | None = None,
         features: dict[str, jnp.ndarray] | None = None,
+        packed_reg: tuple | None = None,
     ) -> dict:
         if self.share_cr:
             raise NotImplementedError(
@@ -186,9 +305,27 @@ class MSREDNet(nn.Module):
             in_axes=(0, 0, nn.broadcast, nn.broadcast),
             out_axes=0,
         )
-        # fused sweep is inference-only (no VJP on the Pallas kernels)
-        use_fused = self.sweep_impl in ("fused", "fusedf32") and not train
+        # fused sweep: inference uses the folded kernel layout; training
+        # backpropagates through the gather-recompute VJP (var_sweep_volume_t)
+        fused_cfg = self.sweep_impl in ("fused", "fusedf32")
+        use_fused = fused_cfg and not train
+        use_fused_t = fused_cfg and train
         fuse_mm = jnp.float32 if self.sweep_impl == "fusedf32" else jnp.bfloat16
+        use_precomp = (
+            use_fused and self.reg_impl == "precomp" and packed_reg is not None
+        )
+        if (
+            self.reg_impl == "precomp"
+            and not train
+            and not self.is_initializing()
+            and not use_precomp
+        ):
+            raise ValueError(
+                "reg_impl='precomp' requires sweep_impl='fused'/'fusedf32' and "
+                "packed_reg=model_pack_reg(model, variables) passed to "
+                f"__call__ (got sweep_impl={self.sweep_impl!r}, "
+                f"packed_reg={'set' if packed_reg is not None else 'None'})"
+            )
 
         outputs: dict[str, Any] = {}
         prev_depth = None
@@ -206,7 +343,8 @@ class MSREDNet(nn.Module):
             src_projs = jnp.moveaxis(src_projs, 1, 0)
             h, w = ref_feat.shape[1:3]
             # pallas2: hoist the merged-lane source transform out of the scan
-            src_feats_w = prepare_warp_sources(
+            any_fused = use_fused or use_fused_t
+            src_feats_w = src_feats if any_fused else prepare_warp_sources(
                 self.warp_impl, self.warp_bands, src_feats, self.dtype
             )
 
@@ -228,12 +366,38 @@ class MSREDNet(nn.Module):
             )
             acc = online_softmax_init((B, h, w))
             d_idx = jnp.arange(D, dtype=jnp.float32)
-            if use_fused:
+            depth = conf = None
+            if any_fused:
                 src_arr = (
                     src_feats
                     if isinstance(src_feats, jnp.ndarray)
                     else jnp.stack(list(src_feats))
                 )
+            if use_precomp:
+                srcs_m = merge_sources(
+                    src_arr, row_band=self.fuse_bands[0],
+                    col_band=self.fuse_bands[1], mm_dtype=fuse_mm,
+                )
+                with jax.named_scope(f"{key}_sweep_fusedvol"):
+                    var_all = var_sweep_volume(
+                        ref_feat, srcs_m, src_projs, ref_proj, lo, step,
+                        num_depth=D, d_chunk=self.fuse_d_chunk,
+                        out_dtype=self.dtype or jnp.float32,
+                    )  # [D,B,h,w,C]
+                with jax.named_scope(f"{key}_sweep_precompreg"):
+                    cost = red_precomp_cost(
+                        packed_reg[si], var_all, self.cr_base[si], self.dtype
+                    )  # [D,B,h,w]
+                # full-softmax regression over the materialized cost volume ==
+                # the scan path's stabilized online softmax exactly
+                c32 = cost.astype(jnp.float32)
+                m = jnp.max(c32, axis=0)
+                e = jnp.exp(c32 - m)
+                s = jnp.sum(e, axis=0) + 1e-10
+                hyp = lo[None] + d_idx[:, None, None, None] * step[None]
+                depth = jnp.sum(e * hyp, axis=0) / s
+                conf = jnp.max(e, axis=0) / s
+            elif use_fused:
                 srcs_m = merge_sources(
                     src_arr, row_band=self.fuse_bands[0],
                     col_band=self.fuse_bands[1], mm_dtype=fuse_mm,
@@ -252,6 +416,21 @@ class MSREDNet(nn.Module):
                     (red_carry, acc), _ = cell(
                         (red_carry, acc), var_all, d_idx, lo, step
                     )
+            elif use_fused_t:
+                with jax.named_scope(f"{key}_sweep_fusedvol_t"):
+                    var_all = var_sweep_volume_t(
+                        ref_feat, src_arr, src_projs, ref_proj, lo, step,
+                        D, self.fuse_d_chunk,
+                        self.fuse_bands[0], self.fuse_bands[1], fuse_mm,
+                        self.dtype or jnp.float32,
+                    )  # [D,B,h,w,C]
+                cell = scan_idx(
+                    self.cr_base[si], (), dtype=self.dtype, name=f"reg{si + 1}"
+                )
+                with jax.named_scope(f"{key}_sweep_fusedreg_t"):
+                    (red_carry, acc), _ = cell(
+                        (red_carry, acc), var_all, d_idx, lo, step
+                    )
             else:
                 cell = scan_cell(
                     self.cr_base[si], self.warp_impl, self.warp_bands,
@@ -261,7 +440,8 @@ class MSREDNet(nn.Module):
                     (red_carry, acc), _ = cell(
                         (red_carry, acc), d_idx, ref_feat, src_feats_w, src_projs, ref_proj, lo, step
                     )
-            depth, conf = online_softmax_finalize(acc)
+            if depth is None:
+                depth, conf = online_softmax_finalize(acc)
             outputs[key] = {"depth": depth, "photometric_confidence": conf}
             prev_depth = depth
 

@@ -128,13 +128,14 @@ class PredictEngine:
         self._jitted: dict[tuple, Any] = {}
         self._feat_cache: "dict[Any, dict]" = {}  # image id -> {stageK: [1,h,w,C]}
         self._feat_order: list = []
-        # reg_impl='pallas' needs the packed regularizer matrices; computed
-        # once per checkpoint here (they are jit-traceable pytree inputs)
+        # non-scan regularizer impls need the packed regularizer tree
+        # (adamvs 'pallas': matmul matrices; msrednet 'precomp': cell
+        # subtrees); computed once per checkpoint — jit-traceable pytrees
         self._packed_reg = None
-        if getattr(model, "reg_impl", "scan") == "pallas" and tile_mesh is None:
-            from ..models.adamvs import pack_reg_params
+        if getattr(model, "reg_impl", "scan") != "scan" and tile_mesh is None:
+            from ..models.adamvs import model_pack_reg
 
-            self._packed_reg = pack_reg_params(model, variables)
+            self._packed_reg = model_pack_reg(model, variables)
 
     def _get_fn(self, shape_key: tuple):
         if shape_key not in self._jitted:

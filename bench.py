@@ -84,16 +84,21 @@ def run_bench(height, width, views, numdepth, iters, model_name, warmup=1,
 
     from adamvs_tpu.models import build_model
 
-    if reg_impl == "pallas" and sweep_impl not in ("fused", "fusedf32"):
+    if reg_impl != "scan" and sweep_impl not in ("fused", "fusedf32"):
         raise SystemExit(
-            "--reg_impl pallas requires --sweep_impl fused/fusedf32 "
-            "(the Pallas regularizer scans the fused sweep's volume); "
+            f"--reg_impl {reg_impl} requires --sweep_impl fused/fusedf32 "
+            "(the fused regularizers consume the fused sweep's volume); "
             "refusing to silently run the scan regularizer (ADVICE r3)"
         )
+    valid_reg = {"adamvs": ("scan", "pallas"), "msrednet": ("scan", "precomp")}
+    if reg_impl not in valid_reg[model_name]:
+        raise SystemExit(
+            f"--reg_impl {reg_impl} is not valid for --model {model_name} "
+            f"(choices: {valid_reg[model_name]})"
+        )
     kw = {"warp_impl": warp_impl, "use_remat": remat,
-          "sweep_impl": sweep_impl, "fuse_d_chunk": fuse_d_chunk}
-    if model_name == "adamvs":
-        kw["reg_impl"] = reg_impl
+          "sweep_impl": sweep_impl, "fuse_d_chunk": fuse_d_chunk,
+          "reg_impl": reg_impl}
     if bands is not None:
         kw["warp_bands"] = tuple(bands)
     if dtype == "bf16":
@@ -109,10 +114,10 @@ def run_bench(height, width, views, numdepth, iters, model_name, warmup=1,
     )
 
     apply_kw = {}
-    if kw.get("reg_impl") == "pallas":
-        from adamvs_tpu.models.adamvs import pack_reg_params
+    if kw.get("reg_impl") != "scan":
+        from adamvs_tpu.models.adamvs import model_pack_reg
 
-        apply_kw["packed_reg"] = pack_reg_params(model, variables)
+        apply_kw["packed_reg"] = model_pack_reg(model, variables)
 
     @jax.jit
     def fwd(variables, imgs, projs, dv):
@@ -267,9 +272,12 @@ def main():
                     help="fused: one Pallas plane-sweep call per stage "
                          "instead of per-depth warps in-scan")
     ap.add_argument("--fuse_d_chunk", type=int, default=16)
-    ap.add_argument("--reg_impl", default="scan", choices=["scan", "pallas"],
-                    help="pallas: whole recurrent-regularizer depth scan in "
-                         "one Pallas kernel per stage (adamvs + fused sweep)")
+    ap.add_argument("--reg_impl", default="scan",
+                    choices=["scan", "pallas", "precomp"],
+                    help="pallas (adamvs): whole recurrent-regularizer depth "
+                         "scan in one Pallas kernel per stage; precomp "
+                         "(msrednet): input-side convs batched over D outside "
+                         "the scan. Both need a fused sweep")
     ap.add_argument("--dtype", default="bf16", choices=["f32", "bf16"])
     ap.add_argument("--batch", type=int, default=1,
                     help="frames per step; amortizes the serial depth recurrence")
