@@ -220,10 +220,13 @@ class FastConv(nn.Module):
             y = conv2d_shift(xc, kc, self.strides[0])
         else:
             pad = (((kh - 1) // 2,) * 2, ((kw - 1) // 2,) * 2)
+            # no preferred_element_type=f32: its transpose rule feeds the f32
+            # cotangent back into a bf16 conv (dtype-mismatch error under
+            # grad); TPU convs accumulate f32 internally for bf16 operands
+            # regardless, and the output rounds to ``dt`` either way
             y = jax.lax.conv_general_dilated(
                 xc, kc, self.strides, pad,
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                preferred_element_type=jnp.float32,
             ).astype(dt)
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros, (self.features,))

@@ -71,9 +71,17 @@ def spatial_dims(h: int, w: int, tile_rows: int) -> tuple[int, int, int]:
 
 def pick_tile_rows(w: int) -> int:
     """Row-tile height: large tiles amortize the halo overcompute
-    ((TH+2*HALO)/TH), small tiles bound VMEM at large widths."""
+    ((TH+2*HALO)/TH); small tiles bound VMEM at large widths AND bound the
+    Mosaic compiler's unrolled vector-op count (compile memory/time scales
+    with tiles-per-op = channels x R/8 x Wps/128 — at th=96/wps=2048 the
+    remote compiler OOMs). Override with ADAMVS_RED_TILE_ROWS."""
+    import os
+
+    env = os.environ.get("ADAMVS_RED_TILE_ROWS", "")
+    if env:
+        return int(env)
     _, _, wps = spatial_dims(8, w, 8)
-    return 128 if wps <= 1536 else 96
+    return 48 if wps <= 1024 else 32
 
 
 def spatialize(vol: jnp.ndarray, tile_rows: int) -> jnp.ndarray:

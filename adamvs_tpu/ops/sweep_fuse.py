@@ -816,7 +816,10 @@ def _fused_t_bwd(num_depth, d_chunk, row_band, col_band, mm_dtype, out_dtype,
         ref, srcs, weights,
     )
     dref, dsrcs, dw = vjp(g.astype(jnp.float32))
-    return (dref, dsrcs, dw, jnp.zeros_like(src_projs),
+    # cotangent dtypes must match the primals (bf16 features otherwise meet
+    # f32 cotangents inside the upstream conv VJPs)
+    return (dref.astype(ref.dtype), dsrcs.astype(srcs.dtype),
+            dw.astype(weights.dtype), jnp.zeros_like(src_projs),
             jnp.zeros_like(ref_proj), jnp.zeros_like(lo), jnp.zeros_like(step))
 
 
@@ -857,7 +860,8 @@ def _var_t_bwd(num_depth, d_chunk, row_band, col_band, mm_dtype, out_dtype,
         ref, srcs,
     )
     dref, dsrcs = vjp(g.astype(jnp.float32))
-    return (dref, dsrcs, jnp.zeros_like(src_projs), jnp.zeros_like(ref_proj),
+    return (dref.astype(ref.dtype), dsrcs.astype(srcs.dtype),
+            jnp.zeros_like(src_projs), jnp.zeros_like(ref_proj),
             jnp.zeros_like(lo), jnp.zeros_like(step))
 
 
@@ -896,7 +900,8 @@ def _corr_t_bwd(num_depth, d_chunk, row_band, col_band, mm_dtype, interpret,
         ref, srcs,
     )
     dref, dsrcs = vjp(g.astype(jnp.float32))
-    return (dref, dsrcs, jnp.zeros_like(src_projs), jnp.zeros_like(ref_proj),
+    return (dref.astype(ref.dtype), dsrcs.astype(srcs.dtype),
+            jnp.zeros_like(src_projs), jnp.zeros_like(ref_proj),
             jnp.zeros_like(lo), jnp.zeros_like(step))
 
 

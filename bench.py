@@ -154,6 +154,80 @@ def run_bench(height, width, views, numdepth, iters, model_name, warmup=1,
     return float(np.median(times)), flops, bytes_accessed
 
 
+def make_train_batch(height, width, views, batch):
+    """Training batch at reference-like crop shapes with GT pyramid + masks."""
+    import jax.numpy as jnp
+
+    imgs, projs, dv = make_inputs(height, width, views, batch)
+    rng = np.random.RandomState(3)
+    B = batch
+    dv3 = jnp.concatenate(
+        [dv, jnp.full((B, 1), (500.0 - 300.0) / 192, jnp.float32)], axis=1
+    )  # [min, max, interval]
+    gt = jnp.asarray(rng.uniform(320, 480, (B, height, width)).astype(np.float32))
+    batch_d = {
+        "imgs": imgs,
+        "proj_matrices": projs,
+        "depth_values": dv3,
+        "depth": {"stage1": gt[:, ::4, ::4], "stage2": gt[:, ::2, ::2], "stage3": gt},
+        "mask": {"stage1": jnp.ones((B, height // 4, width // 4)),
+                 "stage2": jnp.ones((B, height // 2, width // 2)),
+                 "stage3": jnp.ones((B, height, width))},
+        "depth_interval": jnp.full((B,), (500.0 - 300.0) / 192, jnp.float32),
+    }
+    return batch_d
+
+
+def run_train_bench(height, width, views, iters, model_name, warmup=2,
+                    warp_impl="gather", dtype=None, batch=1, remat=True,
+                    sweep_impl="scan", fuse_d_chunk=16):
+    """Steps/s of the FULL jitted train step (fwd + loss + bwd + RMSprop
+    update) — the training half of the runtime surface
+    (train_whu.py:265-300). With sweep_impl fused*, the forward runs the
+    Pallas sweep kernels and the backward the gather-recompute custom VJPs
+    (ops/sweep_fuse.py *_t)."""
+    import jax
+    import jax.numpy as jnp
+
+    from adamvs_tpu.models import build_model, model_loss
+    from adamvs_tpu.train import create_train_state, make_optimizer, make_train_step
+
+    kw = {"warp_impl": warp_impl, "use_remat": remat,
+          "sweep_impl": sweep_impl, "fuse_d_chunk": fuse_d_chunk}
+    if dtype == "bf16":
+        kw["dtype"] = jnp.bfloat16
+    model = build_model(model_name, **kw)
+    batch_d = make_train_batch(height, width, views, batch)
+
+    variables = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((batch, views, 64, 96, 3), jnp.float32),
+        batch_d["proj_matrices"], batch_d["depth_values"],
+    )
+    state = create_train_state(model, variables, make_optimizer(lr=1e-3))
+    step = make_train_step(model_loss(model_name), (0.5, 1.0, 2.0))
+
+    flops = nbytes = None
+    try:
+        cost = step.lower(state, batch_d).compile().cost_analysis()
+        if cost:
+            flops = float(cost.get("flops", 0.0)) or None
+            nbytes = float(cost.get("bytes accessed", 0.0)) or None
+    except Exception:
+        pass
+
+    for _ in range(warmup):
+        state, metrics, _ = step(state, batch_d)
+        float(metrics["loss"])
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        state, metrics, _ = step(state, batch_d)
+        float(metrics["loss"])  # device sync through the scalar fetch
+        times.append(time.perf_counter() - t0)
+    return float(np.median(times)), flops, nbytes
+
+
 def run_selftest(height, width, views, bands=None):
     """On-device warp parity: every impl vs the exact gather warp, one mid-
     sweep slice per cascade stage at true stage shapes + bench geometry, plus
@@ -259,6 +333,9 @@ def run_selftest(height, width, views, bands=None):
 
 def main():
     ap = argparse.ArgumentParser()
+    ap.add_argument("--mode", default="predict", choices=["predict", "train"],
+                    help="train: steps/s of the jitted train step at "
+                         "reference crop shapes (fwd+bwd+update)")
     ap.add_argument("--small", action="store_true", help="reduced-size smoke config")
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--model", default="adamvs")
@@ -299,6 +376,36 @@ def main():
     if args.width:
         w = args.width
     bands = [int(x) for x in args.bands.split(",")] if args.bands else None
+
+    if args.mode == "train":
+        # reference-like training crop (full-res oblique patches)
+        th_, tw_ = (384, 768) if not args.small else (192, 384)
+        sec, flops, nbytes = run_train_bench(
+            th_, tw_, 5, args.iters, args.model,
+            warp_impl=args.warp_impl, dtype=args.dtype, batch=args.batch,
+            remat=args.remat == "on", sweep_impl=args.sweep_impl,
+            fuse_d_chunk=args.fuse_d_chunk,
+        )
+        steps_per_s = args.batch / sec
+        result = {
+            "metric": f"{args.model}_train_{th_}x{tw_}_steps_per_s_per_chip",
+            "value": round(steps_per_s, 5),
+            "unit": "train_steps/s/chip",
+            # modeled reference anchor (BASELINE.md "Training throughput
+            # anchor"): eager per-slice GPU loop, fwd+bwd ~3x fwd flops at
+            # 1/17 the bench-map pixels -> ~0.5 steps/s
+            "vs_baseline": round(steps_per_s / 0.5, 3),
+            "config": {
+                "warp_impl": args.warp_impl, "sweep_impl": args.sweep_impl,
+                "dtype": args.dtype, "batch": args.batch, "remat": args.remat,
+            },
+        }
+        if flops:
+            result["tflops_per_s"] = round(flops / sec / 1e12, 3)
+        if nbytes:
+            result["hbm_gbps"] = round(nbytes / sec / 1e9, 2)
+        print(json.dumps(result))
+        return result
 
     sec_per_batch, flops, nbytes = run_bench(
         h, w, 5, nd, args.iters, args.model,
