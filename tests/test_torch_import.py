@@ -305,3 +305,79 @@ def test_reg_fuse_recurrent_parity():
                 rtol=1e-4, atol=1e-4,
                 err_msg=f"stage{idx+1} slice {d}",
             )
+
+
+def test_adamvs_stage1_whole_stage_torch_parity():
+    """Whole-stage cross-framework parity on real (non-identity) cameras:
+    torch warp (module.py:527-568) + per-view matching (CostRegNet2D +
+    softmax confidence, adamvs.py:268-288) + confidence-weighted fusion +
+    recurrent regularization + online-softmax regression vs the flax model's
+    stage-1 output. Catches fusion/eps/warp-convention/upsample mismatches
+    the submodule tests cannot (VERDICT r3 missing #2)."""
+    from tests.test_torch_import_msrednet import _real_cameras, torch_homo_warp
+
+    tm, variables = _import_tiny()
+    model = AdaMVS(ndepths=(8, 4, 4), depth_intervals_ratio=(4.0, 2.0, 1.0),
+                   base=8, cr_base=(8, 8, 8))
+    rng = np.random.RandomState(7)
+    B, V, H, W = 1, 3, 64, 64
+    h, w, D, C = H // 4, W // 4, 8, 32
+    imgs = rng.randn(B, V, H, W, 3).astype(np.float32)
+    dmin, dmax = 300.0, 500.0
+    dv = np.array([[dmin, dmax, 25.0]], np.float32)
+    projs = {}
+    for k, s in (("stage1", 4), ("stage2", 2), ("stage3", 1)):
+        p = _real_cameras(B, V, H, W)
+        p[:, :, :2, :] /= s
+        projs[k] = p
+
+    out = model.apply(variables, jnp.asarray(imgs),
+                      {k: jnp.asarray(v) for k, v in projs.items()},
+                      jnp.asarray(dv), train=False)
+    got_depth = np.asarray(out["stage1"]["depth"])  # [B, 2h, 2w] (up stage)
+    got_pconf = np.asarray(out["stage1"]["pair_confidence"])  # [B,h,w,V-1]
+
+    with torch.no_grad():
+        feats = [tm.feature(torch.tensor(imgs[:, v].transpose(0, 3, 1, 2)))
+                 for v in range(V)]
+        ref_f = feats[0]["stage1"]  # [B,C,h,w]
+        hyp = torch.tensor(
+            dmin + np.arange(D, dtype=np.float32) * (dmax - dmin) / (D - 1)
+        ).reshape(1, D, 1, 1).expand(B, D, h, w)
+
+        # per-view matching -> confidences (adamvs.py:268-288)
+        warps, confs = [], []
+        for v in range(1, V):
+            warped = torch_homo_warp(feats[v]["stage1"],
+                                     projs["stage1"][:, v], projs["stage1"][:, 0],
+                                     hyp)  # [B,C,D,h,w]
+            corr = (ref_f.unsqueeze(2) * warped).mean(dim=1)  # [B,D,h,w]
+            prob = torch.softmax(tm.DepthNet[0].reg(corr), dim=1)
+            confs.append(prob.max(dim=1).values)  # [B,h,w]
+            warps.append(warped)
+        want_pconf = torch.stack(confs, dim=-1).numpy()
+
+        # confidence-weighted fusion, streamed depth slices (adamvs.py:497-531
+        # Infer-form eps placement), recurrent reg, full softmax over d
+        wsum = 1e-5 + sum(confs)
+        s1 = torch.zeros(B, 8, h, w)
+        s2 = torch.zeros(B, 16, h // 2, w // 2)
+        costs = []
+        for d in range(D):
+            fused = 0.0
+            for v in range(V - 1):
+                fused = fused + confs[v].unsqueeze(1) * (
+                    ref_f * warps[v][:, :, d])
+            fused = fused / wsum.unsqueeze(1)
+            cost, s1, s2 = tm.DepthNet[0].reg_fuse.forward_slice(fused, s1, s2)
+            costs.append(cost[:, 0])  # [B,2h,2w]
+        cost = torch.stack(costs, dim=1)  # [B,D,2h,2w]
+        prob = torch.softmax(cost, dim=1)
+        hyp_up = F.interpolate(hyp, scale_factor=2, mode="bilinear",
+                               align_corners=False)
+        want_depth = torch.sum(prob * hyp_up, dim=1).numpy()
+
+    np.testing.assert_allclose(got_pconf, want_pconf, rtol=1e-3, atol=1e-3)
+    scale = dmax - dmin
+    err = np.abs(got_depth - want_depth) / scale
+    assert err.max() < 2e-3, f"stage depth mismatch: rel max {err.max():.2e}"

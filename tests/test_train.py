@@ -268,3 +268,53 @@ def test_data_parallel_equivalence(synthetic_scene):
     ):
         # cross-device reduction order differs from single-device: fp noise only
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_trainer_on_mesh_matches_single_device(synthetic_scene, tmp_path):
+    """The PRODUCTION path (cli.cmd_train --data_parallel -> Trainer(mesh=...)
+    -> shard_batch) must produce the same loss as the single-device Trainer
+    (VERDICT r3 item 3 'done' criterion)."""
+    from tests.test_models import scene_batch
+    from adamvs_tpu.models import cas_mvs_vis_loss
+    from adamvs_tpu.parallel import make_mesh
+    from adamvs_tpu.train import Trainer, create_train_state, make_optimizer
+
+    imgs, projs, dv = scene_batch(synthetic_scene)
+    B = 2
+    imgs = jnp.concatenate([imgs] * B)
+    projs = {k: jnp.concatenate([v] * B) for k, v in projs.items()}
+    dv = jnp.concatenate([dv] * B)
+    gt = np.repeat(synthetic_scene.views[0].depth[None], B, axis=0)
+    batch = {
+        "imgs": imgs,
+        "proj_matrices": projs,
+        "depth_values": dv,
+        "depth": {"stage1": jnp.asarray(gt[:, ::4, ::4]), "stage2": jnp.asarray(gt)},
+        "mask": {
+            "stage1": jnp.ones((B,) + gt.shape[1:])[:, ::4, ::4],
+            "stage2": jnp.ones((B,) + gt.shape[1:]),
+        },
+        "depth_interval": jnp.full((B,), synthetic_scene.depth_interval, jnp.float32),
+    }
+    model = AdaMVS(ndepths=(8, 4), depth_intervals_ratio=(4.0, 2.0), base=4,
+                   cr_base=(4, 4))
+    variables = model.init(KEY, imgs, projs, dv)
+
+    def fresh_state():
+        sv = jax.tree_util.tree_map(jnp.copy, variables)
+        return create_train_state(model, sv, make_optimizer(lr=1e-3))
+
+    mesh = make_mesh(data=2, tile=1)
+    t_mesh = Trainer(model, cas_mvs_vis_loss, fresh_state(),
+                     str(tmp_path / "mesh"), num_stages=2,
+                     log_fn=lambda *a: None, mesh=mesh, ckpt_step_freq=0)
+    loss_mesh = t_mesh.train_epoch(0, [batch])["loss"]
+
+    t_one = Trainer(model, cas_mvs_vis_loss, fresh_state(),
+                    str(tmp_path / "one"), num_stages=2,
+                    log_fn=lambda *a: None, mesh=None, ckpt_step_freq=0)
+    loss_one = t_one.train_epoch(0, [batch])["loss"]
+
+    assert np.isfinite(loss_mesh)
+    assert abs(loss_mesh - loss_one) < 1e-5 * max(1.0, abs(loss_one)), (
+        loss_mesh, loss_one)
