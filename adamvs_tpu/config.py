@@ -58,7 +58,8 @@ class ModelConfig:
             warp_impl=self.warp_impl,
         )
         kwargs["sweep_impl"] = self.sweep_impl
-        valid_reg = {"adamvs": ("scan", "pallas"), "msrednet": ("scan", "precomp")}
+        valid_reg = {"adamvs": ("scan", "pallas", "precomp"),
+                     "msrednet": ("scan", "precomp")}
         if self.reg_impl not in valid_reg.get(self.model, ("scan",)):
             raise ValueError(
                 f"reg_impl={self.reg_impl!r} is not valid for model "

@@ -99,8 +99,9 @@ def model_pack_reg(model, variables):
         return pack_reg_params(model, variables)
     if impl == "precomp":
         n = len(model.ndepths)
+        prefix = "reg_fuse" if type(model).__name__ == "AdaMVS" else "reg"
         return tuple(
-            variables["params"][f"reg{i + 1}"]["cell"] for i in range(n)
+            variables["params"][f"{prefix}{i + 1}"]["cell"] for i in range(n)
         )
     raise ValueError(f"unknown reg_impl {impl!r}")
 
@@ -212,6 +213,93 @@ def correlation_volume(
 
     out = jax.lax.map(one_block, hyp_blocks)  # [nb,B,block,h,w]
     return out.transpose(1, 0, 2, 3, 4).reshape(B, D, h, w).transpose(0, 2, 3, 1)
+
+
+def ada_precomp_cost(cell_params: dict, fused_all: jnp.ndarray, base: int,
+                     up: bool, dtype=None) -> jnp.ndarray:
+    """AdaRedCell recurrence (reference CostRegNetRED, adamvs.py:157-195)
+    restructured for serial-scan economics — the XLA sibling of the
+    ops/red_scan.py Pallas kernel (whose Mosaic compile is intractable at
+    production widths):
+
+    - the entry conv (cin -> b) and the x-halves of GRU1's gates/candidate
+      convs are batched over the whole depth axis outside the scan;
+    - the scan carries (h1, h2) and runs only the h-side GRU1 convs, the
+      stride-2 down conv (recurrent input r1), and GRU2;
+    - the up-deconv + skip + head run batched over D after the scan, then a
+      full softmax over the materialized cost volume (== online softmax).
+
+    ``cell_params``: the flax AdaRedCell subtree (same checkpoint as the scan
+    path). ``fused_all`` [D,B,h,w,C] -> cost [D,B,oh,ow] (oh=2h when ``up``).
+    Inference-only: parameters arrive as data, so gradients would not reach
+    the train state (training keeps the scan path)."""
+    from ..nn.blocks import ConvReLU
+    from ..nn.fastconv import FastConv, FastConvTranspose
+
+    D, B, h, w, C = fused_all.shape
+    b = base
+    dt = dtype
+    x = fused_all.reshape(D * B, h, w, C)
+    c1 = ConvReLU(b, 3, 1, dtype=dt).apply(
+        {"params": cell_params["ConvReLU_0"]}, x)
+
+    g1 = cell_params["ConvGRUCell_0"]
+    kg, bg = g1["FastConv_0"]["kernel"], g1["FastConv_0"]["bias"]
+    kc, bc = g1["FastConv_1"]["kernel"], g1["FastConv_1"]["bias"]
+    g1x = FastConv(2 * b, (3, 3), use_bias=True, dtype=dt).apply(
+        {"params": {"kernel": kg[:, :, :b], "bias": bg}}, c1)
+    c1x = FastConv(b, (3, 3), use_bias=True, dtype=dt).apply(
+        {"params": {"kernel": kc[:, :, :b], "bias": bc}}, c1)
+    g1x = g1x.reshape(D, B, h, w, 2 * b)
+    c1x = c1x.reshape(D, B, h, w, b)
+    khg1, khc1 = kg[:, :, b:], kc[:, :, b:]
+
+    conv2 = ConvReLU(2 * b, 3, 2, dtype=dt)
+    p_conv2 = {"params": cell_params["ConvReLU_1"]}
+    gru2 = cell_params["ConvGRUCell_1"]
+
+    def body(carry, inp):
+        h1, h2 = carry
+        g1x_d, c1x_d = inp
+        gates = g1x_d + FastConv(2 * b, (3, 3), use_bias=False, dtype=dt).apply(
+            {"params": {"kernel": khg1}}, h1)
+        r = nn.sigmoid(gates[..., :b])
+        u = nn.sigmoid(gates[..., b:])
+        cand = nn.tanh(c1x_d + FastConv(b, (3, 3), use_bias=False, dtype=dt).apply(
+            {"params": {"kernel": khc1}}, r * h1))
+        h1 = u * h1 + (1 - u) * cand  # == r1 (ConvGRUCell output is the state)
+        c2 = conv2.apply(p_conv2, h1)
+        gates2 = FastConv(4 * b, (3, 3), use_bias=True, dtype=dt).apply(
+            {"params": gru2["FastConv_0"]}, jnp.concatenate([c2, h2], axis=-1))
+        r2 = nn.sigmoid(gates2[..., : 2 * b])
+        u2 = nn.sigmoid(gates2[..., 2 * b :])
+        cand2 = nn.tanh(FastConv(2 * b, (3, 3), use_bias=True, dtype=dt).apply(
+            {"params": gru2["FastConv_1"]},
+            jnp.concatenate([c2, r2 * h2], axis=-1)))
+        h2 = u2 * h2 + (1 - u2) * cand2
+        return (h1, h2), (h1, h2)
+
+    carry0 = (
+        jnp.zeros((B, h, w, b), dt or jnp.float32),
+        jnp.zeros((B, h // 2, w // 2, 2 * b), dt or jnp.float32),
+    )
+    _, (r1, r2) = jax.lax.scan(body, carry0, (g1x, c1x))
+
+    r1 = r1.reshape((D * B,) + r1.shape[2:])
+    r2 = r2.reshape((D * B,) + r2.shape[2:])
+    u1 = FastConvTranspose(b, (3, 3), strides=(2, 2), use_bias=True,
+                           dtype=dt).apply(
+        {"params": cell_params["FastConvTranspose_0"]}, r2)
+    u1 = nn.relu(u1 + r1)
+    if up:
+        cost = FastConvTranspose(1, (3, 3), strides=(2, 2), use_bias=True,
+                                 dtype=dt).apply(
+            {"params": cell_params["FastConvTranspose_1"]}, u1)
+    else:
+        cost = FastConv(1, (3, 3), use_bias=True, dtype=dt).apply(
+            {"params": cell_params["FastConv_0"]}, u1)
+    oh, ow = cost.shape[1:3]
+    return cost[..., 0].reshape(D, B, oh, ow)
 
 
 class _AdaFuseStreamCell(nn.Module):
@@ -481,19 +569,23 @@ class AdaMVS(nn.Module):
         use_pallas_reg = (
             use_fused and self.reg_impl == "pallas" and packed_reg is not None
         )
-        # A model configured for the Pallas regularizer must not silently
+        use_precomp = (
+            use_fused and self.reg_impl == "precomp" and packed_reg is not None
+        )
+        # A model configured for a fused regularizer must not silently
         # degrade to the scan path at inference (ADVICE r3): fail loudly on
         # wiring mistakes. Init and training legitimately take the scan path.
         if (
-            self.reg_impl == "pallas"
+            self.reg_impl in ("pallas", "precomp")
             and not train
             and not self.is_initializing()
-            and not use_pallas_reg
+            and not (use_pallas_reg or use_precomp)
         ):
             raise ValueError(
-                "reg_impl='pallas' requires sweep_impl='fused'/'fusedf32', no "
-                "depth_mesh, and packed_reg=pack_reg_params(model, variables) "
-                f"passed to __call__ (got sweep_impl={self.sweep_impl!r}, "
+                f"reg_impl={self.reg_impl!r} requires sweep_impl='fused'/"
+                "'fusedf32', no depth_mesh, and packed_reg="
+                "model_pack_reg(model, variables) passed to __call__ "
+                f"(got sweep_impl={self.sweep_impl!r}, "
                 f"depth_mesh={'set' if self.depth_mesh is not None else 'None'}, "
                 f"packed_reg={'set' if packed_reg is not None else 'None'})"
             )
@@ -594,8 +686,9 @@ class AdaMVS(nn.Module):
                         fused_all = fused_sweep_volume(
                             ref_feat, srcs_m, src_projs, ref_proj, weights, lo, step,
                             num_depth=D, d_chunk=self.fuse_d_chunk,
-                            out_dtype=self.dtype or jnp.float32, folded=True,
-                        )  # [D,B*T,C,P]
+                            out_dtype=self.dtype or jnp.float32,
+                            folded=not use_precomp,
+                        )  # [D,B*T,C,P] folded / [D,B,h,w,C] for precomp
                 else:
                     fgrid = ()  # unfolded [D,B,h,w,C] for the training path
                     with jax.named_scope(f"{key}_sweep_fusedvol_t"):
@@ -610,6 +703,7 @@ class AdaMVS(nn.Module):
                     step_acc = resize_bilinear(step, out_h, out_w)
                 else:
                     lo_acc, step_acc = lo, step
+                cost = None
                 if use_pallas_reg:
                     th = pick_tile_rows(w)
                     vol_sp = refold_spatial(fused_all, fgrid, tile_rows=th)
@@ -618,6 +712,13 @@ class AdaMVS(nn.Module):
                             packed_reg[si], vol_sp, ref_feat.shape[-1],
                             self.cr_base[si], up, h, w, tile_rows=th,
                         )  # [D, B, out_h, out_w]
+                elif use_precomp:
+                    with jax.named_scope(f"{key}_sweep_precompreg"):
+                        cost = ada_precomp_cost(
+                            packed_reg[si], fused_all, self.cr_base[si], up,
+                            self.dtype,
+                        )  # [D, B, out_h, out_w]
+                if cost is not None:
                     # full-softmax regression over the materialized reg-cost
                     # volume == the scan path's online softmax exactly; XLA
                     # fuses it into two bandwidth-bound passes over ``cost``

@@ -90,7 +90,8 @@ def run_bench(height, width, views, numdepth, iters, model_name, warmup=1,
             "(the fused regularizers consume the fused sweep's volume); "
             "refusing to silently run the scan regularizer (ADVICE r3)"
         )
-    valid_reg = {"adamvs": ("scan", "pallas"), "msrednet": ("scan", "precomp")}
+    valid_reg = {"adamvs": ("scan", "pallas", "precomp"),
+                 "msrednet": ("scan", "precomp")}
     if reg_impl not in valid_reg[model_name]:
         raise SystemExit(
             f"--reg_impl {reg_impl} is not valid for --model {model_name} "

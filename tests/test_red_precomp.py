@@ -91,3 +91,41 @@ def test_msrednet_precomp_requires_packed():
         variables = m.init(KEY, imgs, projs, dv)  # init: no loud check
         with pytest.raises(ValueError, match="precomp"):
             m.apply(variables, imgs, projs, dv, train=False)
+
+
+def test_adamvs_precomp_model_matches_scan():
+    """AdaMVS reg_impl='precomp' (ada_precomp_cost): the depth-batched
+    restructure must match the exact scan path with the same checkpoint."""
+    from adamvs_tpu.models import AdaMVS
+
+    rng = np.random.RandomState(2)
+    B, V, H, W = 1, 3, 64, 64
+    imgs = jnp.asarray(rng.randn(B, V, H, W, 3).astype(np.float32))
+    proj = np.tile(np.eye(4, dtype=np.float32), (B, V, 1, 1))
+    for v in range(V):
+        proj[:, v, 0, 0] = proj[:, v, 1, 1] = 80.0
+        proj[:, v, 0, 2] = W / 2
+        proj[:, v, 1, 2] = H / 2
+        proj[:, v, 0, 3] = 80.0 * 0.8 * v
+    projs = {}
+    for k, s in (("stage1", 4), ("stage2", 2), ("stage3", 1)):
+        p = proj.copy()
+        p[:, :, :2, :] /= s
+        projs[k] = jnp.asarray(p)
+    dv = jnp.asarray([[300.0, 500.0, 25.0]], jnp.float32)
+
+    kw = dict(ndepths=(8, 4, 4), depth_intervals_ratio=(4.0, 2.0, 1.0),
+              base=8, cr_base=(8, 8, 8))
+    m_scan = AdaMVS(warp_impl="gather", **kw)
+    m_pre = AdaMVS(sweep_impl="fusedf32", reg_impl="precomp", **kw)
+    variables = m_scan.init(KEY, imgs, projs, dv)
+    packed = model_pack_reg(m_pre, variables)
+
+    out_s = m_scan.apply(variables, imgs, projs, dv, train=False)
+    with pltpu.force_tpu_interpret_mode():
+        out_p = m_pre.apply(variables, imgs, projs, dv, train=False,
+                            packed_reg=packed)
+    ds = np.asarray(out_s["depth"])
+    dp = np.asarray(out_p["depth"])
+    err = np.abs(dp - ds) / 200.0
+    assert err.max() < 1e-4, f"adamvs precomp deviates: rel max {err.max():.2e}"
