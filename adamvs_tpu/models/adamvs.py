@@ -216,7 +216,7 @@ def correlation_volume(
 
 
 def ada_precomp_cost(cell_params: dict, fused_all: jnp.ndarray, base: int,
-                     up: bool, dtype=None) -> jnp.ndarray:
+                     up: bool, dtype=None, chunk: int = 8) -> jnp.ndarray:
     """AdaRedCell recurrence (reference CostRegNetRED, adamvs.py:157-195)
     restructured for serial-scan economics — the XLA sibling of the
     ops/red_scan.py Pallas kernel (whose Mosaic compile is intractable at
@@ -232,28 +232,23 @@ def ada_precomp_cost(cell_params: dict, fused_all: jnp.ndarray, base: int,
     ``cell_params``: the flax AdaRedCell subtree (same checkpoint as the scan
     path). ``fused_all`` [D,B,h,w,C] -> cost [D,B,oh,ow] (oh=2h when ``up``).
     Inference-only: parameters arrive as data, so gradients would not reach
-    the train state (training keeps the scan path)."""
+    the train state (training keeps the scan path).
+
+    The depth axis runs in ``chunk``-sized blocks under an outer ``lax.scan``
+    carrying (h1, h2): batched intermediates live for one chunk only
+    (all-D batching OOM'd HBM at bench shapes)."""
     from ..nn.blocks import ConvReLU
     from ..nn.fastconv import FastConv, FastConvTranspose
 
     D, B, h, w, C = fused_all.shape
     b = base
     dt = dtype
-    x = fused_all.reshape(D * B, h, w, C)
-    c1 = ConvReLU(b, 3, 1, dtype=dt).apply(
-        {"params": cell_params["ConvReLU_0"]}, x)
+    K = chunk if D % chunk == 0 else D
 
     g1 = cell_params["ConvGRUCell_0"]
     kg, bg = g1["FastConv_0"]["kernel"], g1["FastConv_0"]["bias"]
     kc, bc = g1["FastConv_1"]["kernel"], g1["FastConv_1"]["bias"]
-    g1x = FastConv(2 * b, (3, 3), use_bias=True, dtype=dt).apply(
-        {"params": {"kernel": kg[:, :, :b], "bias": bg}}, c1)
-    c1x = FastConv(b, (3, 3), use_bias=True, dtype=dt).apply(
-        {"params": {"kernel": kc[:, :, :b], "bias": bc}}, c1)
-    g1x = g1x.reshape(D, B, h, w, 2 * b)
-    c1x = c1x.reshape(D, B, h, w, b)
     khg1, khc1 = kg[:, :, b:], kc[:, :, b:]
-
     conv2 = ConvReLU(2 * b, 3, 2, dtype=dt)
     p_conv2 = {"params": cell_params["ConvReLU_1"]}
     gru2 = cell_params["ConvGRUCell_1"]
@@ -279,27 +274,42 @@ def ada_precomp_cost(cell_params: dict, fused_all: jnp.ndarray, base: int,
         h2 = u2 * h2 + (1 - u2) * cand2
         return (h1, h2), (h1, h2)
 
+    def chunk_body(carry, fused_chunk):  # [K,B,h,w,C]
+        x = fused_chunk.reshape(K * B, h, w, C)
+        c1 = ConvReLU(b, 3, 1, dtype=dt).apply(
+            {"params": cell_params["ConvReLU_0"]}, x)
+        g1x = FastConv(2 * b, (3, 3), use_bias=True, dtype=dt).apply(
+            {"params": {"kernel": kg[:, :, :b], "bias": bg}}, c1)
+        c1x = FastConv(b, (3, 3), use_bias=True, dtype=dt).apply(
+            {"params": {"kernel": kc[:, :, :b], "bias": bc}}, c1)
+        g1x = g1x.reshape(K, B, h, w, 2 * b)
+        c1x = c1x.reshape(K, B, h, w, b)
+        carry, (r1, r2) = jax.lax.scan(body, carry, (g1x, c1x))
+
+        r1 = r1.reshape((K * B,) + r1.shape[2:])
+        r2 = r2.reshape((K * B,) + r2.shape[2:])
+        u1 = FastConvTranspose(b, (3, 3), strides=(2, 2), use_bias=True,
+                               dtype=dt).apply(
+            {"params": cell_params["FastConvTranspose_0"]}, r2)
+        u1 = nn.relu(u1 + r1)
+        if up:
+            cost = FastConvTranspose(1, (3, 3), strides=(2, 2), use_bias=True,
+                                     dtype=dt).apply(
+                {"params": cell_params["FastConvTranspose_1"]}, u1)
+        else:
+            cost = FastConv(1, (3, 3), use_bias=True, dtype=dt).apply(
+                {"params": cell_params["FastConv_0"]}, u1)
+        oh, ow = cost.shape[1:3]
+        return carry, cost[..., 0].reshape(K, B, oh, ow)
+
     carry0 = (
         jnp.zeros((B, h, w, b), dt or jnp.float32),
-        jnp.zeros((B, h // 2, w // 2, 2 * b), dt or jnp.float32),
+        jnp.zeros((B, -(-h // 2), -(-w // 2), 2 * b), dt or jnp.float32),
     )
-    _, (r1, r2) = jax.lax.scan(body, carry0, (g1x, c1x))
-
-    r1 = r1.reshape((D * B,) + r1.shape[2:])
-    r2 = r2.reshape((D * B,) + r2.shape[2:])
-    u1 = FastConvTranspose(b, (3, 3), strides=(2, 2), use_bias=True,
-                           dtype=dt).apply(
-        {"params": cell_params["FastConvTranspose_0"]}, r2)
-    u1 = nn.relu(u1 + r1)
-    if up:
-        cost = FastConvTranspose(1, (3, 3), strides=(2, 2), use_bias=True,
-                                 dtype=dt).apply(
-            {"params": cell_params["FastConvTranspose_1"]}, u1)
-    else:
-        cost = FastConv(1, (3, 3), use_bias=True, dtype=dt).apply(
-            {"params": cell_params["FastConv_0"]}, u1)
-    oh, ow = cost.shape[1:3]
-    return cost[..., 0].reshape(D, B, oh, ow)
+    _, cost = jax.lax.scan(
+        chunk_body, carry0, fused_all.reshape((D // K, K) + fused_all.shape[1:])
+    )
+    return cost.reshape((D,) + cost.shape[2:])
 
 
 class _AdaFuseStreamCell(nn.Module):

@@ -120,7 +120,7 @@ class _RedIdxStreamCell(nn.Module):
 
 
 def red_precomp_cost(cell_params: dict, var_all: jnp.ndarray, base: int,
-                     dtype=None) -> jnp.ndarray:
+                     dtype=None, chunk: int = 8) -> jnp.ndarray:
     """The 4-level GN-GRU recurrence (reference RED_Regularization,
     msrednet.py:134-181) restructured for the TPU's serial-scan economics:
 
@@ -141,28 +141,35 @@ def red_precomp_cost(cell_params: dict, var_all: jnp.ndarray, base: int,
     path). ``var_all`` [D,B,h,w,C] -> regularized cost [D,B,h,w].
     Inference-only by design: parameters arrive as data, so gradients would
     not reach the train state (the scan path remains the training path).
+
+    The depth axis is processed in ``chunk``-sized blocks under an outer
+    ``lax.scan`` carrying the GRU states: the batched intermediates live for
+    one chunk only (all-D batching OOM'd HBM at bench shapes — 46 GB).
     """
     D, B, h, w, C = var_all.shape
     b = base
     dt = dtype
-    x = (-var_all).reshape(D * B, h, w, C)
+    K = chunk if D % chunk == 0 else D
 
-    c1 = ConvReLU(2 * b, 3, 2, dtype=dt).apply(
-        {"params": cell_params["ConvReLU_0"]}, x)
-    c2 = ConvReLU(4 * b, 3, 2, dtype=dt).apply(
-        {"params": cell_params["ConvReLU_1"]}, c1)
-    c3 = ConvReLU(8 * b, 3, 2, dtype=dt).apply(
-        {"params": cell_params["ConvReLU_2"]}, c2)
+    # level metadata: (flax cell name, hidden); order = reference conv_gru1..4
+    levels = [("GNConvGRUCell_3", b), ("GNConvGRUCell_2", 2 * b),
+              ("GNConvGRUCell_1", 4 * b), ("GNConvGRUCell_0", 8 * b)]
+    # per-level spatial dims: stride-2 convs emit ceil(h/2) (torch grid)
+    dims = [(h, w)]
+    for _ in range(3):
+        dims.append((-(-dims[-1][0] // 2), -(-dims[-1][1] // 2)))
+    hside = []
+    for li, (name, ch) in enumerate(levels):
+        p = cell_params[name]
+        cin = (C, 2 * b, 4 * b, 8 * b)[li]
+        hside.append((
+            p["FastConv_0"]["kernel"][:, :, cin:],
+            p["FastConv_1"]["kernel"][:, :, cin:],
+            p["GroupNorm_0"], p["GroupNorm_1"], p["GroupNorm_2"], ch,
+            dims[li],
+        ))
 
-    # (flax cell name, hidden, batched input); order = reference conv_gru1..4
-    levels = [
-        ("GNConvGRUCell_3", b, x),
-        ("GNConvGRUCell_2", 2 * b, c1),
-        ("GNConvGRUCell_1", 4 * b, c2),
-        ("GNConvGRUCell_0", 8 * b, c3),
-    ]
-    gx, cx, hside = [], [], []
-    for name, ch, inp in levels:
+    def xside(name, ch, inp):
         p = cell_params[name]
         kg, bg = p["FastConv_0"]["kernel"], p["FastConv_0"]["bias"]
         kc, bc = p["FastConv_1"]["kernel"], p["FastConv_1"]["bias"]
@@ -172,13 +179,8 @@ def red_precomp_cost(cell_params: dict, var_all: jnp.ndarray, base: int,
         c = FastConv(ch, (3, 3), use_bias=True, dtype=dt).apply(
             {"params": {"kernel": kc[:, :, :cin], "bias": bc}}, inp)
         hh, ww = inp.shape[1:3]
-        gx.append(g.reshape(D, B, hh, ww, 2 * ch))
-        cx.append(c.reshape(D, B, hh, ww, ch))
-        hside.append((
-            kg[:, :, cin:], kc[:, :, cin:],
-            p["GroupNorm_0"], p["GroupNorm_1"], p["GroupNorm_2"], ch,
-            (hh, ww),
-        ))
+        return (g.reshape((K, B, hh, ww, 2 * ch)),
+                c.reshape((K, B, hh, ww, ch)))
 
     def gru_step(hk, gxk, cxk, lvl):
         khg, khc, gn_r, gn_u, gn_o, ch, _ = lvl
@@ -190,38 +192,54 @@ def red_precomp_cost(cell_params: dict, var_all: jnp.ndarray, base: int,
         o = cxk + FastConv(ch, (3, 3), use_bias=False, dtype=dt).apply(
             {"params": {"kernel": khc}}, r * hk)
         cand = nn.tanh(gn.apply({"params": gn_o}, o))
-        hk = u * hk + (1 - u) * cand
-        return hk
+        return u * hk + (1 - u) * cand
 
     carry0 = tuple(
         jnp.zeros((B,) + lvl[6] + (lvl[5],), dt or jnp.float32) for lvl in hside
     )
 
-    def body(carry, inp):
-        gx1, gx2, gx3, gx4, cx1, cx2, cx3, cx4 = inp
-        h1, h2, h3, h4 = carry
-        h1 = gru_step(h1, gx1, cx1, hside[0])
-        h2 = gru_step(h2, gx2, cx2, hside[1])
-        h3 = gru_step(h3, gx3, cx3, hside[2])
-        h4 = gru_step(h4, gx4, cx4, hside[3])
-        return (h1, h2, h3, h4), (h1, h2, h3, h4)
+    def chunk_body(carry, var_chunk):  # [K,B,h,w,C]
+        x = (-var_chunk).reshape(K * B, h, w, C)
+        c1 = ConvReLU(2 * b, 3, 2, dtype=dt).apply(
+            {"params": cell_params["ConvReLU_0"]}, x)
+        c2 = ConvReLU(4 * b, 3, 2, dtype=dt).apply(
+            {"params": cell_params["ConvReLU_1"]}, c1)
+        c3 = ConvReLU(8 * b, 3, 2, dtype=dt).apply(
+            {"params": cell_params["ConvReLU_2"]}, c2)
+        gx1, cx1 = xside("GNConvGRUCell_3", b, x)
+        gx2, cx2 = xside("GNConvGRUCell_2", 2 * b, c1)
+        gx3, cx3 = xside("GNConvGRUCell_1", 4 * b, c2)
+        gx4, cx4 = xside("GNConvGRUCell_0", 8 * b, c3)
 
-    _, (r1, r2, r3, r4) = jax.lax.scan(
-        body, carry0, (gx[0], gx[1], gx[2], gx[3], cx[0], cx[1], cx[2], cx[3])
-    )
+        def body(carry, inp):
+            g1, g2, g3, g4, x1, x2, x3, x4 = inp
+            h1, h2, h3, h4 = carry
+            h1 = gru_step(h1, g1, x1, hside[0])
+            h2 = gru_step(h2, g2, x2, hside[1])
+            h3 = gru_step(h3, g3, x3, hside[2])
+            h4 = gru_step(h4, g4, x4, hside[3])
+            return (h1, h2, h3, h4), (h1, h2, h3, h4)
 
-    r1, r2, r3, r4 = (
-        v.reshape((D * B,) + v.shape[2:]) for v in (r1, r2, r3, r4)
+        carry, (r1, r2, r3, r4) = jax.lax.scan(
+            body, carry, (gx1, gx2, gx3, gx4, cx1, cx2, cx3, cx4)
+        )
+        r1, r2, r3, r4 = (
+            v.reshape((K * B,) + v.shape[2:]) for v in (r1, r2, r3, r4)
+        )
+        u3 = ConvTransReLU(4 * b, dtype=dt).apply(
+            {"params": cell_params["ConvTransReLU_0"]}, r4)
+        u2 = ConvTransReLU(2 * b, dtype=dt).apply(
+            {"params": cell_params["ConvTransReLU_1"]}, u3 + r3)
+        u1 = ConvTransReLU(b, dtype=dt).apply(
+            {"params": cell_params["ConvTransReLU_2"]}, u2 + r2)
+        cost = FastConv(1, (3, 3), use_bias=True, dtype=dt).apply(
+            {"params": cell_params["FastConv_0"]}, u1 + r1)
+        return carry, cost[..., 0].reshape(K, B, h, w)
+
+    _, cost = jax.lax.scan(
+        chunk_body, carry0, var_all.reshape((D // K, K) + var_all.shape[1:])
     )
-    u3 = ConvTransReLU(4 * b, dtype=dt).apply(
-        {"params": cell_params["ConvTransReLU_0"]}, r4)
-    u2 = ConvTransReLU(2 * b, dtype=dt).apply(
-        {"params": cell_params["ConvTransReLU_1"]}, u3 + r3)
-    u1 = ConvTransReLU(b, dtype=dt).apply(
-        {"params": cell_params["ConvTransReLU_2"]}, u2 + r2)
-    cost = FastConv(1, (3, 3), use_bias=True, dtype=dt).apply(
-        {"params": cell_params["FastConv_0"]}, u1 + r1)
-    return cost[..., 0].reshape(D, B, h, w)
+    return cost.reshape(D, B, h, w)
 
 
 class MSREDNet(nn.Module):
