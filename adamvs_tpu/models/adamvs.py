@@ -253,9 +253,8 @@ def ada_precomp_cost(cell_params: dict, fused_all: jnp.ndarray, base: int,
     p_conv2 = {"params": cell_params["ConvReLU_1"]}
     gru2 = cell_params["ConvGRUCell_1"]
 
-    def body(carry, inp):
+    def gru_steps(carry, g1x_d, c1x_d):
         h1, h2 = carry
-        g1x_d, c1x_d = inp
         gates = g1x_d + FastConv(2 * b, (3, 3), use_bias=False, dtype=dt).apply(
             {"params": {"kernel": khg1}}, h1)
         r = nn.sigmoid(gates[..., :b])
@@ -272,29 +271,33 @@ def ada_precomp_cost(cell_params: dict, fused_all: jnp.ndarray, base: int,
             {"params": gru2["FastConv_1"]},
             jnp.concatenate([c2, r2 * h2], axis=-1)))
         h2 = u2 * h2 + (1 - u2) * cand2
-        return (h1, h2), (h1, h2)
+        return (h1, h2)
 
-    def chunk_body(carry, fused_chunk):  # [K,B,h,w,C]
-        x = fused_chunk.reshape(K * B, h, w, C)
+    def chunk_body(carry, fused_chunk):  # [K*B, h, w, C]
+        # inner K steps UNROLLED: a lax.scan here would stack [K,B,h,w,C]
+        # intermediates whose two small leading/trailing dims force 16x
+        # lane-padded layouts at full res (9.7 GB HBM temps at bench shapes)
         c1 = ConvReLU(b, 3, 1, dtype=dt).apply(
-            {"params": cell_params["ConvReLU_0"]}, x)
+            {"params": cell_params["ConvReLU_0"]}, fused_chunk)
         g1x = FastConv(2 * b, (3, 3), use_bias=True, dtype=dt).apply(
             {"params": {"kernel": kg[:, :, :b], "bias": bg}}, c1)
         c1x = FastConv(b, (3, 3), use_bias=True, dtype=dt).apply(
             {"params": {"kernel": kc[:, :, :b], "bias": bc}}, c1)
-        g1x = g1x.reshape(K, B, h, w, 2 * b)
-        c1x = c1x.reshape(K, B, h, w, b)
-        carry, (r1, r2) = jax.lax.scan(body, carry, (g1x, c1x))
-
-        r1 = r1.reshape((K * B,) + r1.shape[2:])
-        r2 = r2.reshape((K * B,) + r2.shape[2:])
+        r1s, r2s = [], []
+        for k in range(K):
+            carry = gru_steps(carry, g1x[k * B : (k + 1) * B],
+                              c1x[k * B : (k + 1) * B])
+            r1s.append(carry[0])
+            r2s.append(carry[1])
+        r1 = jnp.concatenate(r1s, axis=0)  # [K*B, h, w, b]
+        r2 = jnp.concatenate(r2s, axis=0)
         u1 = FastConvTranspose(b, (3, 3), strides=(2, 2), use_bias=True,
-                               dtype=dt).apply(
+                               dtype=dt, use_stock=True).apply(
             {"params": cell_params["FastConvTranspose_0"]}, r2)
         u1 = nn.relu(u1 + r1)
         if up:
             cost = FastConvTranspose(1, (3, 3), strides=(2, 2), use_bias=True,
-                                     dtype=dt).apply(
+                                     dtype=dt, use_stock=True).apply(
                 {"params": cell_params["FastConvTranspose_1"]}, u1)
         else:
             cost = FastConv(1, (3, 3), use_bias=True, dtype=dt).apply(
@@ -306,9 +309,12 @@ def ada_precomp_cost(cell_params: dict, fused_all: jnp.ndarray, base: int,
         jnp.zeros((B, h, w, b), dt or jnp.float32),
         jnp.zeros((B, -(-h // 2), -(-w // 2), 2 * b), dt or jnp.float32),
     )
+    # chunks as [D//K, K*B, h, w, C]: the outer scan slices along a LARGE
+    # leading dim only (layout-neutral)
     _, cost = jax.lax.scan(
-        chunk_body, carry0, fused_all.reshape((D // K, K) + fused_all.shape[1:])
-    )
+        chunk_body, carry0,
+        fused_all.reshape((D // K, K * B) + fused_all.shape[2:]),
+    )  # [D//K, K, B, oh, ow]
     return cost.reshape((D,) + cost.shape[2:])
 
 

@@ -178,9 +178,7 @@ def red_precomp_cost(cell_params: dict, var_all: jnp.ndarray, base: int,
             {"params": {"kernel": kg[:, :, :cin], "bias": bg}}, inp)
         c = FastConv(ch, (3, 3), use_bias=True, dtype=dt).apply(
             {"params": {"kernel": kc[:, :, :cin], "bias": bc}}, inp)
-        hh, ww = inp.shape[1:3]
-        return (g.reshape((K, B, hh, ww, 2 * ch)),
-                c.reshape((K, B, hh, ww, ch)))
+        return g, c  # [K*B, hh, ww, .]
 
     def gru_step(hk, gxk, cxk, lvl):
         khg, khc, gn_r, gn_u, gn_o, ch, _ = lvl
@@ -198,46 +196,46 @@ def red_precomp_cost(cell_params: dict, var_all: jnp.ndarray, base: int,
         jnp.zeros((B,) + lvl[6] + (lvl[5],), dt or jnp.float32) for lvl in hside
     )
 
-    def chunk_body(carry, var_chunk):  # [K,B,h,w,C]
-        x = (-var_chunk).reshape(K * B, h, w, C)
+    def chunk_body(carry, var_chunk):  # [K*B, h, w, C]
+        # inner K steps UNROLLED: lax.scan stacking of [K,B,...] blocks with
+        # two small leading dims forces 16x lane-padded layouts at full res
+        x = -var_chunk
         c1 = ConvReLU(2 * b, 3, 2, dtype=dt).apply(
             {"params": cell_params["ConvReLU_0"]}, x)
         c2 = ConvReLU(4 * b, 3, 2, dtype=dt).apply(
             {"params": cell_params["ConvReLU_1"]}, c1)
         c3 = ConvReLU(8 * b, 3, 2, dtype=dt).apply(
             {"params": cell_params["ConvReLU_2"]}, c2)
-        gx1, cx1 = xside("GNConvGRUCell_3", b, x)
-        gx2, cx2 = xside("GNConvGRUCell_2", 2 * b, c1)
-        gx3, cx3 = xside("GNConvGRUCell_1", 4 * b, c2)
-        gx4, cx4 = xside("GNConvGRUCell_0", 8 * b, c3)
-
-        def body(carry, inp):
-            g1, g2, g3, g4, x1, x2, x3, x4 = inp
-            h1, h2, h3, h4 = carry
-            h1 = gru_step(h1, g1, x1, hside[0])
-            h2 = gru_step(h2, g2, x2, hside[1])
-            h3 = gru_step(h3, g3, x3, hside[2])
-            h4 = gru_step(h4, g4, x4, hside[3])
-            return (h1, h2, h3, h4), (h1, h2, h3, h4)
-
-        carry, (r1, r2, r3, r4) = jax.lax.scan(
-            body, carry, (gx1, gx2, gx3, gx4, cx1, cx2, cx3, cx4)
-        )
-        r1, r2, r3, r4 = (
-            v.reshape((K * B,) + v.shape[2:]) for v in (r1, r2, r3, r4)
-        )
-        u3 = ConvTransReLU(4 * b, dtype=dt).apply(
+        gcx = [
+            xside("GNConvGRUCell_3", b, x),
+            xside("GNConvGRUCell_2", 2 * b, c1),
+            xside("GNConvGRUCell_1", 4 * b, c2),
+            xside("GNConvGRUCell_0", 8 * b, c3),
+        ]
+        rs = [[], [], [], []]
+        hs = list(carry)
+        for k in range(K):
+            for li in range(4):
+                g, c = gcx[li]
+                hs[li] = gru_step(
+                    hs[li], g[k * B : (k + 1) * B], c[k * B : (k + 1) * B],
+                    hside[li],
+                )
+                rs[li].append(hs[li])
+        r1, r2, r3, r4 = (jnp.concatenate(r, axis=0) for r in rs)  # [K*B,...]
+        u3 = ConvTransReLU(4 * b, dtype=dt, use_stock=True).apply(
             {"params": cell_params["ConvTransReLU_0"]}, r4)
-        u2 = ConvTransReLU(2 * b, dtype=dt).apply(
+        u2 = ConvTransReLU(2 * b, dtype=dt, use_stock=True).apply(
             {"params": cell_params["ConvTransReLU_1"]}, u3 + r3)
-        u1 = ConvTransReLU(b, dtype=dt).apply(
+        u1 = ConvTransReLU(b, dtype=dt, use_stock=True).apply(
             {"params": cell_params["ConvTransReLU_2"]}, u2 + r2)
         cost = FastConv(1, (3, 3), use_bias=True, dtype=dt).apply(
             {"params": cell_params["FastConv_0"]}, u1 + r1)
-        return carry, cost[..., 0].reshape(K, B, h, w)
+        return tuple(hs), cost[..., 0].reshape(K, B, h, w)
 
     _, cost = jax.lax.scan(
-        chunk_body, carry0, var_all.reshape((D // K, K) + var_all.shape[1:])
+        chunk_body, carry0,
+        var_all.reshape((D // K, K * B) + var_all.shape[2:]),
     )
     return cost.reshape(D, B, h, w)
 

@@ -114,12 +114,13 @@ class ConvTransReLU(nn.Module):
     features: int
     kernel: int = 3
     dtype: Any = None
+    use_stock: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         x = FastConvTranspose(
             self.features, (self.kernel, self.kernel), strides=(2, 2),
-            use_bias=False, dtype=self.dtype,
+            use_bias=False, dtype=self.dtype, use_stock=self.use_stock,
         )(x)
         return nn.relu(x)
 

@@ -159,13 +159,16 @@ def conv2d_transpose_shift(x: jnp.ndarray, k: jnp.ndarray, stride: int = 2) -> j
 
 
 class FastConvTranspose(nn.Module):
-    """nn.ConvTranspose-compatible module via phase-grouped shift-einsum."""
+    """nn.ConvTranspose-compatible module via phase-grouped shift-einsum
+    (``use_stock=True``: the stock lhs-dilated XLA conv instead — identical
+    math, layout-friendlier for large batched inputs)."""
 
     features: int
     kernel_size: tuple[int, int]
     strides: tuple[int, int] = (2, 2)
     use_bias: bool = True
     dtype: Any = None
+    use_stock: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -177,11 +180,14 @@ class FastConvTranspose(nn.Module):
         dt = self.dtype or x.dtype
         xc = x.astype(dt)
         kc = kernel.astype(dt)
-        if _use_shift(Ci, self.features) and self.strides[0] == self.strides[1]:
+        if (not self.use_stock and _use_shift(Ci, self.features)
+                and self.strides[0] == self.strides[1]):
             y = conv2d_transpose_shift(xc, kc, self.strides[0])
         else:
             # same torch-aligned grid as the shift path: correlation with
             # lhs dilation s and padding (k-1-p, k-1-p+op), p=(k-1)//2
+            # (no preferred_element_type=f32 — untransposable under grad,
+            # see FastConv)
             pads = []
             for kk, s in zip((kh, kw), self.strides):
                 pl = kk - 1 - (kk - 1) // 2
@@ -189,7 +195,6 @@ class FastConvTranspose(nn.Module):
             y = jax.lax.conv_general_dilated(
                 xc, kc, (1, 1), tuple(pads), lhs_dilation=self.strides,
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                preferred_element_type=jnp.float32,
             ).astype(dt)
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros, (self.features,))
