@@ -215,8 +215,9 @@ def correlation_volume(
     return out.transpose(1, 0, 2, 3, 4).reshape(B, D, h, w).transpose(0, 2, 3, 1)
 
 
-def ada_precomp_cost(cell_params: dict, fused_all: jnp.ndarray, base: int,
-                     up: bool, dtype=None, chunk: int = 8) -> jnp.ndarray:
+def ada_precomp_depth(cell_params: dict, fused_all: jnp.ndarray, base: int,
+                      up: bool, lo_acc: jnp.ndarray, step_acc: jnp.ndarray,
+                      dtype=None, chunk: int = 8):
     """AdaRedCell recurrence (reference CostRegNetRED, adamvs.py:157-195)
     restructured for serial-scan economics — the XLA sibling of the
     ops/red_scan.py Pallas kernel (whose Mosaic compile is intractable at
@@ -230,13 +231,17 @@ def ada_precomp_cost(cell_params: dict, fused_all: jnp.ndarray, base: int,
       full softmax over the materialized cost volume (== online softmax).
 
     ``cell_params``: the flax AdaRedCell subtree (same checkpoint as the scan
-    path). ``fused_all`` [D,B,h,w,C] -> cost [D,B,oh,ow] (oh=2h when ``up``).
+    path). ``fused_all`` [D,B,h,w,C]; ``lo_acc``/``step_acc`` are the
+    hypothesis maps at OUTPUT resolution (2h x 2w when ``up``). Returns
+    (depth [B,oh,ow], confidence [B,oh,ow]).
     Inference-only: parameters arrive as data, so gradients would not reach
     the train state (training keeps the scan path).
 
     The depth axis runs in ``chunk``-sized blocks under an outer ``lax.scan``
-    carrying (h1, h2): batched intermediates live for one chunk only
-    (all-D batching OOM'd HBM at bench shapes)."""
+    carrying (h1, h2) AND the online-softmax accumulator — neither the
+    batched intermediates nor a [D,B,oh,ow] cost volume ever materialize
+    (both OOM'd HBM at bench shapes; the cost volume additionally picks a
+    D-minor layout that 16x lane-pads)."""
     from ..nn.blocks import ConvReLU
     from ..nn.fastconv import FastConv, FastConvTranspose
 
@@ -277,6 +282,7 @@ def ada_precomp_cost(cell_params: dict, fused_all: jnp.ndarray, base: int,
         # inner K steps UNROLLED: a lax.scan here would stack [K,B,h,w,C]
         # intermediates whose two small leading/trailing dims force 16x
         # lane-padded layouts at full res (9.7 GB HBM temps at bench shapes)
+        gru_carry, acc, d0 = carry
         c1 = ConvReLU(b, 3, 1, dtype=dt).apply(
             {"params": cell_params["ConvReLU_0"]}, fused_chunk)
         g1x = FastConv(2 * b, (3, 3), use_bias=True, dtype=dt).apply(
@@ -285,10 +291,10 @@ def ada_precomp_cost(cell_params: dict, fused_all: jnp.ndarray, base: int,
             {"params": {"kernel": kc[:, :, :b], "bias": bc}}, c1)
         r1s, r2s = [], []
         for k in range(K):
-            carry = gru_steps(carry, g1x[k * B : (k + 1) * B],
-                              c1x[k * B : (k + 1) * B])
-            r1s.append(carry[0])
-            r2s.append(carry[1])
+            gru_carry = gru_steps(gru_carry, g1x[k * B : (k + 1) * B],
+                                  c1x[k * B : (k + 1) * B])
+            r1s.append(gru_carry[0])
+            r2s.append(gru_carry[1])
         r1 = jnp.concatenate(r1s, axis=0)  # [K*B, h, w, b]
         r2 = jnp.concatenate(r2s, axis=0)
         u1 = FastConvTranspose(b, (3, 3), strides=(2, 2), use_bias=True,
@@ -302,20 +308,30 @@ def ada_precomp_cost(cell_params: dict, fused_all: jnp.ndarray, base: int,
         else:
             cost = FastConv(1, (3, 3), use_bias=True, dtype=dt).apply(
                 {"params": cell_params["FastConv_0"]}, u1)
-        oh, ow = cost.shape[1:3]
-        return carry, cost[..., 0].reshape(K, B, oh, ow)
+        cost = cost[..., 0]  # [K*B, oh, ow]
+        for k in range(K):
+            acc = online_softmax_update(
+                acc, cost[k * B : (k + 1) * B],
+                lo_acc + (d0 + k) * step_acc,
+            )
+        return (gru_carry, acc, d0 + K), jnp.float32(0.0)
 
+    oh, ow = ((2 * h, 2 * w) if up else (h, w))
     carry0 = (
-        jnp.zeros((B, h, w, b), dt or jnp.float32),
-        jnp.zeros((B, -(-h // 2), -(-w // 2), 2 * b), dt or jnp.float32),
+        (
+            jnp.zeros((B, h, w, b), dt or jnp.float32),
+            jnp.zeros((B, -(-h // 2), -(-w // 2), 2 * b), dt or jnp.float32),
+        ),
+        online_softmax_init((B, oh, ow)),
+        jnp.float32(0.0),
     )
     # chunks as [D//K, K*B, h, w, C]: the outer scan slices along a LARGE
     # leading dim only (layout-neutral)
-    _, cost = jax.lax.scan(
+    (_, acc, _), _ = jax.lax.scan(
         chunk_body, carry0,
         fused_all.reshape((D // K, K * B) + fused_all.shape[2:]),
-    )  # [D//K, K, B, oh, ow]
-    return cost.reshape((D,) + cost.shape[2:])
+    )
+    return online_softmax_finalize(acc)
 
 
 class _AdaFuseStreamCell(nn.Module):
@@ -728,13 +744,13 @@ class AdaMVS(nn.Module):
                             packed_reg[si], vol_sp, ref_feat.shape[-1],
                             self.cr_base[si], up, h, w, tile_rows=th,
                         )  # [D, B, out_h, out_w]
-                elif use_precomp:
+                if use_precomp:
                     with jax.named_scope(f"{key}_sweep_precompreg"):
-                        cost = ada_precomp_cost(
+                        depth, conf = ada_precomp_depth(
                             packed_reg[si], fused_all, self.cr_base[si], up,
-                            self.dtype,
-                        )  # [D, B, out_h, out_w]
-                if cost is not None:
+                            lo_acc, step_acc, self.dtype,
+                        )
+                elif cost is not None:
                     # full-softmax regression over the materialized reg-cost
                     # volume == the scan path's online softmax exactly; XLA
                     # fuses it into two bandwidth-bound passes over ``cost``

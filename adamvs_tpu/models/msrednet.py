@@ -119,8 +119,9 @@ class _RedIdxStreamCell(nn.Module):
         return (red_carry, acc), jnp.float32(0.0)
 
 
-def red_precomp_cost(cell_params: dict, var_all: jnp.ndarray, base: int,
-                     dtype=None, chunk: int = 8) -> jnp.ndarray:
+def red_precomp_depth(cell_params: dict, var_all: jnp.ndarray, base: int,
+                      lo: jnp.ndarray, step: jnp.ndarray,
+                      dtype=None, chunk: int = 8):
     """The 4-level GN-GRU recurrence (reference RED_Regularization,
     msrednet.py:134-181) restructured for the TPU's serial-scan economics:
 
@@ -138,13 +139,16 @@ def red_precomp_cost(cell_params: dict, var_all: jnp.ndarray, base: int,
       runs batched over D after the scan.
 
     ``cell_params``: the flax RedCell subtree (same checkpoint as the scan
-    path). ``var_all`` [D,B,h,w,C] -> regularized cost [D,B,h,w].
+    path). ``var_all`` [D,B,h,w,C]; ``lo``/``step`` hypothesis maps at stage
+    resolution. Returns (depth [B,h,w], confidence [B,h,w]).
     Inference-only by design: parameters arrive as data, so gradients would
     not reach the train state (the scan path remains the training path).
 
     The depth axis is processed in ``chunk``-sized blocks under an outer
-    ``lax.scan`` carrying the GRU states: the batched intermediates live for
-    one chunk only (all-D batching OOM'd HBM at bench shapes — 46 GB).
+    ``lax.scan`` carrying the GRU states AND the online-softmax accumulator:
+    neither the batched intermediates nor a [D,B,h,w] cost volume ever
+    materialize (all-D batching OOM'd HBM at bench shapes — 46 GB; the cost
+    volume additionally picks a D-minor layout that 16x lane-pads).
     """
     D, B, h, w, C = var_all.shape
     b = base
@@ -199,6 +203,7 @@ def red_precomp_cost(cell_params: dict, var_all: jnp.ndarray, base: int,
     def chunk_body(carry, var_chunk):  # [K*B, h, w, C]
         # inner K steps UNROLLED: lax.scan stacking of [K,B,...] blocks with
         # two small leading dims forces 16x lane-padded layouts at full res
+        hs_in, acc, d0 = carry
         x = -var_chunk
         c1 = ConvReLU(2 * b, 3, 2, dtype=dt).apply(
             {"params": cell_params["ConvReLU_0"]}, x)
@@ -213,7 +218,7 @@ def red_precomp_cost(cell_params: dict, var_all: jnp.ndarray, base: int,
             xside("GNConvGRUCell_0", 8 * b, c3),
         ]
         rs = [[], [], [], []]
-        hs = list(carry)
+        hs = list(hs_in)
         for k in range(K):
             for li in range(4):
                 g, c = gcx[li]
@@ -230,14 +235,18 @@ def red_precomp_cost(cell_params: dict, var_all: jnp.ndarray, base: int,
         u1 = ConvTransReLU(b, dtype=dt, use_stock=True).apply(
             {"params": cell_params["ConvTransReLU_2"]}, u2 + r2)
         cost = FastConv(1, (3, 3), use_bias=True, dtype=dt).apply(
-            {"params": cell_params["FastConv_0"]}, u1 + r1)
-        return tuple(hs), cost[..., 0].reshape(K, B, h, w)
+            {"params": cell_params["FastConv_0"]}, u1 + r1)[..., 0]  # [K*B,h,w]
+        for k in range(K):
+            acc = online_softmax_update(
+                acc, cost[k * B : (k + 1) * B], lo + (d0 + k) * step)
+        return (tuple(hs), acc, d0 + K), jnp.float32(0.0)
 
-    _, cost = jax.lax.scan(
-        chunk_body, carry0,
+    carry_full = (carry0, online_softmax_init((B, h, w)), jnp.float32(0.0))
+    (_, acc, _), _ = jax.lax.scan(
+        chunk_body, carry_full,
         var_all.reshape((D // K, K * B) + var_all.shape[2:]),
     )
-    return cost.reshape(D, B, h, w)
+    return online_softmax_finalize(acc)
 
 
 class MSREDNet(nn.Module):
@@ -401,18 +410,10 @@ class MSREDNet(nn.Module):
                         out_dtype=self.dtype or jnp.float32,
                     )  # [D,B,h,w,C]
                 with jax.named_scope(f"{key}_sweep_precompreg"):
-                    cost = red_precomp_cost(
-                        packed_reg[si], var_all, self.cr_base[si], self.dtype
-                    )  # [D,B,h,w]
-                # full-softmax regression over the materialized cost volume ==
-                # the scan path's stabilized online softmax exactly
-                c32 = cost.astype(jnp.float32)
-                m = jnp.max(c32, axis=0)
-                e = jnp.exp(c32 - m)
-                s = jnp.sum(e, axis=0) + 1e-10
-                hyp = lo[None] + d_idx[:, None, None, None] * step[None]
-                depth = jnp.sum(e * hyp, axis=0) / s
-                conf = jnp.max(e, axis=0) / s
+                    depth, conf = red_precomp_depth(
+                        packed_reg[si], var_all, self.cr_base[si], lo, step,
+                        self.dtype,
+                    )
             elif use_fused:
                 srcs_m = merge_sources(
                     src_arr, row_band=self.fuse_bands[0],

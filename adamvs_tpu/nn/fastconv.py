@@ -125,9 +125,8 @@ def conv2d_transpose_shift(x: jnp.ndarray, k: jnp.ndarray, stride: int = 2) -> j
         (stride - 1 - pl_w + kw - 1) // stride,
     )
     xp = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
-    phases = []
+    y = None
     for a in range(stride):
-        row_terms = []
         for b in range(stride):
             term = None
             for ky in range(kh):
@@ -151,11 +150,20 @@ def conv2d_transpose_shift(x: jnp.ndarray, k: jnp.ndarray, stride: int = 2) -> j
                     )
                     term = t if term is None else term + t
             if term is None:
-                term = jnp.zeros((B, H, W, Co), jnp.float32)
-            row_terms.append(term)
-        phases.append(jnp.stack(row_terms, axis=3))  # [B,H,W,s,Co]
-    y = jnp.stack(phases, axis=2)  # [B,H,s,W,s,Co]
-    return y.reshape(B, H * stride, W * stride, Co).astype(x.dtype)
+                continue
+            # interleave phase (a, b) by interior-dilated pad + add: stack/
+            # reshape interleaves create 6-D [B,H,s,W,s,Co] temps whose two
+            # stride-2 dims force 16x lane-padded layouts (multi-GB HBM temps
+            # at full res); dilated pads keep 4-D layout-clean arrays
+            padded = jax.lax.pad(
+                term, jnp.float32(0.0),
+                ((0, 0, 0), (a, stride - 1 - a, stride - 1),
+                 (b, stride - 1 - b, stride - 1), (0, 0, 0)),
+            )
+            y = padded if y is None else y + padded
+    if y is None:
+        y = jnp.zeros((B, H * stride, W * stride, Co), jnp.float32)
+    return y.astype(x.dtype)
 
 
 class FastConvTranspose(nn.Module):

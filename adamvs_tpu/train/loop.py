@@ -223,4 +223,9 @@ class Trainer:
     def end_epoch(self, epoch: int, val_metrics: dict[str, float] | None):
         if (epoch + 1) % self.save_freq == 0 and self.is_primary:
             metric = val_metrics.get("abs_depth_error") if val_metrics else None
-            save_checkpoint(self.logdir, self.state, epoch, metric=metric)
+            # block=True: epoch boundaries can afford the commit wait, and the
+            # final epoch's save must not race interpreter teardown (orbax's
+            # async commit thread dies on the shut-down default executor).
+            # Mid-epoch step saves (train_epoch) stay async.
+            save_checkpoint(self.logdir, self.state, epoch, metric=metric,
+                            block=True)

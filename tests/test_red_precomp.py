@@ -11,7 +11,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from adamvs_tpu.models import MSREDNet
 from adamvs_tpu.models.adamvs import model_pack_reg
-from adamvs_tpu.models.msrednet import red_precomp_cost
+from adamvs_tpu.models.msrednet import red_precomp_depth
 from adamvs_tpu.nn.costreg import RedCell
 
 pytestmark = pytest.mark.slow  # heavy tier; excluded from the default run
@@ -26,18 +26,23 @@ def test_red_precomp_matches_cell_scan():
     carry0 = cell.init_carry(B, h, w)
     variables = cell.init(KEY, carry0, jnp.zeros((B, h, w, C)))
     vol = jnp.asarray(rng.randn(D, B, h, w, C).astype(np.float32))
+    lo = jnp.full((B, h, w), 300.0)
+    step = jnp.full((B, h, w), 25.0)
 
     carry = carry0
     outs = []
     for d in range(D):
         carry, cost = cell.apply(variables, carry, vol[d])
         outs.append(cost[..., 0])
-    want = np.asarray(jnp.stack(outs))
+    cost_ref = jnp.stack(outs).astype(jnp.float32)  # [D,B,h,w]
+    prob = jax.nn.softmax(cost_ref, axis=0)
+    d_idx = jnp.arange(D, dtype=jnp.float32)[:, None, None, None]
+    hyp = lo[None] + d_idx * step[None]
+    want_depth = np.asarray(jnp.sum(prob * hyp, axis=0))
 
-    got = np.asarray(red_precomp_cost(variables["params"], vol, base))
-    err = np.max(np.abs(got - want))
-    scale = np.std(want) + 1e-9
-    assert err / scale < 5e-5, (err, scale)
+    got_depth, _ = red_precomp_depth(variables["params"], vol, base, lo, step)
+    err = np.max(np.abs(np.asarray(got_depth) - want_depth))
+    assert err / 25.0 < 5e-5, err
 
 
 def test_msrednet_precomp_model_matches_scan():
