@@ -125,8 +125,15 @@ def conv2d_transpose_shift(x: jnp.ndarray, k: jnp.ndarray, stride: int = 2) -> j
         (stride - 1 - pl_w + kw - 1) // stride,
     )
     xp = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
+    # B == 1: assemble via stack+reshape (measured fastest at the per-slice
+    # scan shapes). B > 1: the 6-D stack's two stride-2 dims force 16x
+    # lane-padded layouts (20.9 GB HBM temps at batch=2 bench shapes) — use
+    # interior-dilated pad + add instead (same math, 4-D arrays only).
+    use_stack = B == 1
+    phases = [] if use_stack else None
     y = None
     for a in range(stride):
+        row_terms = [] if use_stack else None
         for b in range(stride):
             term = None
             for ky in range(kh):
@@ -149,18 +156,24 @@ def conv2d_transpose_shift(x: jnp.ndarray, k: jnp.ndarray, stride: int = 2) -> j
                         preferred_element_type=jnp.float32,
                     )
                     term = t if term is None else term + t
+            if use_stack:
+                if term is None:
+                    term = jnp.zeros((B, H, W, Co), jnp.float32)
+                row_terms.append(term)
+                continue
             if term is None:
                 continue
-            # interleave phase (a, b) by interior-dilated pad + add: stack/
-            # reshape interleaves create 6-D [B,H,s,W,s,Co] temps whose two
-            # stride-2 dims force 16x lane-padded layouts (multi-GB HBM temps
-            # at full res); dilated pads keep 4-D layout-clean arrays
             padded = jax.lax.pad(
                 term, jnp.float32(0.0),
                 ((0, 0, 0), (a, stride - 1 - a, stride - 1),
                  (b, stride - 1 - b, stride - 1), (0, 0, 0)),
             )
             y = padded if y is None else y + padded
+        if use_stack:
+            phases.append(jnp.stack(row_terms, axis=3))  # [B,H,W,s,Co]
+    if use_stack:
+        y = jnp.stack(phases, axis=2)  # [B,H,s,W,s,Co]
+        return y.reshape(B, H * stride, W * stride, Co).astype(x.dtype)
     if y is None:
         y = jnp.zeros((B, H * stride, W * stride, Co), jnp.float32)
     return y.astype(x.dtype)
