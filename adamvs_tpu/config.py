@@ -40,7 +40,7 @@ class ModelConfig:
     # scan: recurrent regularizer as an XLA scan over depth slices.
     # adamvs 'pallas': the whole depth recurrence in one Pallas kernel per
     # stage (ops/red_scan.py). msrednet 'precomp': input-side convs batched
-    # over D outside the scan (models/msrednet.py red_precomp_cost).
+    # over D outside the scan (models/msrednet.py red_precomp_depth).
     # Both inference-only; require sweep_impl fused.
     reg_impl: str = "scan"
     dtype: str = "f32"  # f32 | bf16

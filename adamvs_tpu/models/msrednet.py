@@ -268,7 +268,7 @@ class MSREDNet(nn.Module):
     fuse_d_chunk: int = 16
     # "scan": per-slice RedCell inside the depth scan. "precomp": input-side
     # convs batched over D outside the scan + thin GN-GRU scan + batched
-    # decoder (red_precomp_cost) — inference-only, requires sweep_impl
+    # decoder (red_precomp_depth) — inference-only, requires sweep_impl
     # "fused"/"fusedf32" and ``packed_reg`` (model_pack_reg) in __call__.
     reg_impl: str = "scan"
 

@@ -1,4 +1,4 @@
-"""MSREDNet reg_impl='precomp' (models/msrednet.py red_precomp_cost): the
+"""MSREDNet reg_impl='precomp' (models/msrednet.py red_precomp_depth): the
 depth-batched restructure of the 4-level GN-GRU recurrence must match the
 per-slice RedCell scan with the same parameters — unit (cost volume) and
 model level (full cascade through the fused sweep, interpret mode)."""
@@ -99,7 +99,7 @@ def test_msrednet_precomp_requires_packed():
 
 
 def test_adamvs_precomp_model_matches_scan():
-    """AdaMVS reg_impl='precomp' (ada_precomp_cost): the depth-batched
+    """AdaMVS reg_impl='precomp' (ada_precomp_depth): the depth-batched
     restructure must match the exact scan path with the same checkpoint."""
     from adamvs_tpu.models import AdaMVS
 
