@@ -118,6 +118,13 @@ def cmd_train(args):
     # and supplies its slice of the global batch (parallel/mesh.shard_batch).
     mesh = None
     n_hosts, host = jax.process_count(), jax.process_index()
+    if n_hosts > 1 and args.data_parallel == 1:
+        # without a data-parallel mesh each process would train an
+        # independent replica on 1/n of the data with no gradient sync
+        raise SystemExit(
+            f"{n_hosts} JAX processes require --data_parallel (use 0 for "
+            "all devices): multi-host training without a data mesh would "
+            "silently train unsynchronized replicas")
     if args.data_parallel != 1:
         from .parallel import make_mesh
 
@@ -132,8 +139,12 @@ def cmd_train(args):
             # per-host local batch; sample lists sharded below
             data.batch_size //= n_hosts
     if n_hosts > 1:
-        train_specs = train_specs[host::n_hosts]
-        test_specs = test_specs[host::n_hosts]
+        # equal per-host shard lengths (truncate the remainder): hosts run
+        # the same number of collective train/eval steps — a host with one
+        # extra batch would enter the jitted step alone and hang SPMD
+        n_tr, n_te = len(train_specs) // n_hosts, len(test_specs) // n_hosts
+        train_specs = train_specs[host::n_hosts][:n_tr]
+        test_specs = test_specs[host::n_hosts][:n_te]
     steps_per_epoch = max(1, len(train_specs) // data.batch_size)
 
     model = mc.build()
@@ -201,30 +212,41 @@ def cmd_test(args):
         state = restore_checkpoint(ckpt, state)
         print(f"loaded {ckpt}")
 
-    estep = make_eval_step(model_loss(mc.model), parse_float_list(args.dlossw), len(mc.ndepths))
+    estep = make_eval_step(
+        model_loss(mc.model), parse_float_list(args.dlossw), len(mc.ndepths),
+        model=model,
+    )
     out_root = os.path.join(data.testpath, f"depths_{data.set_name}")
     meter = AverageMeter()
-    for i, spec in enumerate(specs):
-        s = load_train_sample(spec, mode="test", interval_scale=data.interval_scale)
-        batch = batch_train_samples([s])
-        batch = {k: v for k, v in batch.items()}
+    bs = max(1, data.batch_size)
+    for i0 in range(0, len(specs), bs):
+        group = specs[i0 : i0 + bs]
+        samples = [
+            load_train_sample(sp, mode="test", interval_scale=data.interval_scale)
+            for sp in group
+        ]
+        batch = batch_train_samples(samples)
         t0 = time.time()
         metrics, depth, prob = estep(state, batch)
         scalars = {k: float(v) for k, v in metrics.items()}
         meter.update(scalars)
-        print(f"Iter {i}/{len(specs)}, time={time.time() - t0:.3f}s, {scalars}")
+        print(
+            f"Iter {i0}/{len(specs)} (batch {len(group)}), "
+            f"time={time.time() - t0:.3f}s, {scalars}"
+        )
 
-        folder = os.path.join(out_root, s.vid)
-        os.makedirs(os.path.join(folder, "color"), exist_ok=True)
-        d = np.float32(np.asarray(depth)[0])
-        p = np.float32(np.asarray(prob)[0])
-        write_pfm(os.path.join(folder, f"{s.name}_init.pfm"), d)
-        write_pfm(os.path.join(folder, f"{s.name}_prob.pfm"), p)
-        Image.fromarray(s.out_image).save(os.path.join(folder, f"{s.name}.jpg"))
-        Image.fromarray(colorize_depth(d)).save(
-            os.path.join(folder, "color", f"{s.name}_init.png"))
-        Image.fromarray(colorize_prob(p)).save(
-            os.path.join(folder, "color", f"{s.name}_prob.png"))
+        for j, s in enumerate(samples):
+            folder = os.path.join(out_root, s.vid)
+            os.makedirs(os.path.join(folder, "color"), exist_ok=True)
+            d = np.float32(np.asarray(depth)[j])
+            p = np.float32(np.asarray(prob)[j])
+            write_pfm(os.path.join(folder, f"{s.name}_init.pfm"), d)
+            write_pfm(os.path.join(folder, f"{s.name}_prob.pfm"), p)
+            Image.fromarray(s.out_image).save(os.path.join(folder, f"{s.name}.jpg"))
+            Image.fromarray(colorize_depth(d)).save(
+                os.path.join(folder, "color", f"{s.name}_init.png"))
+            Image.fromarray(colorize_prob(p)).save(
+                os.path.join(folder, "color", f"{s.name}_prob.png"))
     print("final:", meter.mean())
 
 
@@ -302,7 +324,10 @@ def cmd_profile(args):
     model = mc.build()
     variables = _init_variables(model, data, _first_sample_shape(specs, data))
     state = create_train_state(model, variables, make_optimizer())
-    estep = make_eval_step(model_loss(mc.model), parse_float_list(args.dlossw), len(mc.ndepths))
+    estep = make_eval_step(
+        model_loss(mc.model), parse_float_list(args.dlossw), len(mc.ndepths),
+        model=model,
+    )
 
     batches = batch_iterator(
         specs, data.batch_size, "test", shuffle=False, drop_last=False, num_workers=2

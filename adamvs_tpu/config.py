@@ -65,6 +65,13 @@ class ModelConfig:
                 f"reg_impl={self.reg_impl!r} is not valid for model "
                 f"{self.model!r} (choices: {valid_reg.get(self.model)})"
             )
+        if self.reg_impl != "scan" and self.sweep_impl not in ("fused", "fusedf32"):
+            # the fused regularizers consume the sweep kernel's folded
+            # layout; fail at build time, not at the first eval apply
+            raise ValueError(
+                f"reg_impl={self.reg_impl!r} requires sweep_impl "
+                f"'fused'/'fusedf32' (got {self.sweep_impl!r})"
+            )
         kwargs["reg_impl"] = self.reg_impl
         if self.dtype == "bf16":
             kwargs["dtype"] = jnp.bfloat16

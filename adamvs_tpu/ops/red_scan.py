@@ -79,7 +79,18 @@ def pick_tile_rows(w: int) -> int:
 
     env = os.environ.get("ADAMVS_RED_TILE_ROWS", "")
     if env:
-        return int(env)
+        try:
+            th = int(env)
+        except ValueError:
+            raise ValueError(
+                f"ADAMVS_RED_TILE_ROWS={env!r} is not an integer") from None
+        # th//2 half-res windows + sublane-merge alignment need a multiple of
+        # 8; margin writes source from h1out[:HALO] need th >= HALO
+        if th < HALO or th % 8:
+            raise ValueError(
+                f"ADAMVS_RED_TILE_ROWS={th} invalid: must be a multiple of 8 "
+                f"and >= {HALO}")
+        return th
     _, _, wps = spatial_dims(8, w, 8)
     return 48 if wps <= 1024 else 32
 

@@ -46,13 +46,24 @@ def make_train_step(loss_fn: Callable, dlossw) -> Callable:
     return jax.jit(train_step, donate_argnums=(0,))
 
 
-def make_eval_step(loss_fn: Callable, dlossw, num_stages: int) -> Callable:
+def make_eval_step(loss_fn: Callable, dlossw, num_stages: int, model=None) -> Callable:
+    """``model``: pass the model when its ``reg_impl`` is a fused regularizer
+    ('pallas'/'precomp') — those paths need the packed regularizer tree, which
+    is a pure function of the *current* params, so it is re-packed inside the
+    jitted step (cheap pytree transforms; XLA folds them into the step)."""
     final = f"stage{num_stages}"
+    packs = model is not None and getattr(model, "reg_impl", "scan") != "scan"
 
     def eval_step(state: TrainState, batch):
+        kwargs = {}
+        if packs:
+            from ..models.adamvs import model_pack_reg
+
+            kwargs["packed_reg"] = model_pack_reg(model, {"params": state.params})
         out = state.apply_fn(
             {"params": state.params, "batch_stats": state.batch_stats},
             batch["imgs"], batch["proj_matrices"], batch["depth_values"], train=False,
+            **kwargs,
         )
         loss, depth_loss = loss_fn(out, batch["depth"], batch["mask"], dlossw)
         metrics = {"loss": loss, "depth_loss": depth_loss}
@@ -119,7 +130,7 @@ class Trainer:
 
             self.state = replicate(self.state, mesh)
         self.train_step = make_train_step(loss_fn, dlossw)
-        self.eval_step = make_eval_step(loss_fn, dlossw, num_stages)
+        self.eval_step = make_eval_step(loss_fn, dlossw, num_stages, model=model)
         os.makedirs(logdir, exist_ok=True)
         self._jsonl = (
             open(os.path.join(logdir, "metrics.jsonl"), "a")
@@ -204,15 +215,31 @@ class Trainer:
                 f"Epoch {epoch}, iter {i}, loss={scalars['loss']:.4f}, "
                 f"time={time.time() - t0:.3f}s"
             )
-            if self.ckpt_step_freq and step % self.ckpt_step_freq == 0 and self.is_primary:
+            # every process calls save: Orbax save of jax.Arrays is a
+            # collective (distributed barrier + per-shard writes) — gating on
+            # process 0 deadlocks a real multi-host run. Orbax itself writes
+            # replicated arrays from the primary only.
+            if self.ckpt_step_freq and step % self.ckpt_step_freq == 0:
                 save_checkpoint(self.logdir, self.state, epoch, tag=f"step{step}")
         return meter.mean()
 
     def eval_epoch(self, epoch: int, batches) -> dict[str, float]:
         meter = AverageMeter()
+        dp = self.mesh.shape["data"] if self.mesh is not None else 1
+        dropped = 0
         for i, batch in enumerate(batches):
+            # a final short batch not divisible by the data axis can't be
+            # sharded; drop it (logged) rather than skew metrics with padding
+            if dp > 1 and batch["imgs"].shape[0] % dp:
+                dropped += batch["imgs"].shape[0]
+                continue
             metrics, _, _ = self.eval_step(self.state, self._shard(batch))
             meter.update({k: float(v) for k, v in metrics.items()})
+        if dropped:
+            self.log(
+                f"eval: dropped {dropped} sample(s) of a final batch not "
+                f"divisible by the data-parallel size {dp}"
+            )
         means = meter.mean()
         self._record("val", int(self.state.step), means)
         if self.is_primary:
@@ -221,7 +248,8 @@ class Trainer:
         return means
 
     def end_epoch(self, epoch: int, val_metrics: dict[str, float] | None):
-        if (epoch + 1) % self.save_freq == 0 and self.is_primary:
+        # all processes participate (collective save; see train_epoch)
+        if (epoch + 1) % self.save_freq == 0:
             metric = val_metrics.get("abs_depth_error") if val_metrics else None
             # block=True: epoch boundaries can afford the commit wait, and the
             # final epoch's save must not race interpreter teardown (orbax's

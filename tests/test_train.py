@@ -318,3 +318,69 @@ def test_trainer_on_mesh_matches_single_device(synthetic_scene, tmp_path):
     assert np.isfinite(loss_mesh)
     assert abs(loss_mesh - loss_one) < 1e-5 * max(1.0, abs(loss_one)), (
         loss_mesh, loss_one)
+
+
+def _replicated_batch(synthetic_scene, B):
+    from tests.test_models import scene_batch
+
+    imgs, projs, dv = scene_batch(synthetic_scene)
+    imgs = jnp.concatenate([imgs] * B)
+    projs = {k: jnp.concatenate([v] * B) for k, v in projs.items()}
+    dv = jnp.concatenate([dv] * B)
+    gt = np.repeat(synthetic_scene.views[0].depth[None], B, axis=0)
+    return {
+        "imgs": imgs,
+        "proj_matrices": projs,
+        "depth_values": dv,
+        "depth": {"stage1": jnp.asarray(gt[:, ::4, ::4]), "stage2": jnp.asarray(gt)},
+        "mask": {
+            "stage1": jnp.ones((B,) + gt.shape[1:])[:, ::4, ::4],
+            "stage2": jnp.ones((B,) + gt.shape[1:]),
+        },
+        "depth_interval": jnp.full((B,), synthetic_scene.depth_interval, jnp.float32),
+    }
+
+
+def test_eval_epoch_drops_ragged_final_batch(synthetic_scene, tmp_path):
+    """A final val batch not divisible by the data axis must be dropped with
+    a logged count, not crash sharding (VERDICT r4 weak item 6)."""
+    from adamvs_tpu.models import cas_mvs_vis_loss
+    from adamvs_tpu.parallel import make_mesh
+    from adamvs_tpu.train import Trainer, create_train_state, make_optimizer
+
+    full = _replicated_batch(synthetic_scene, 2)
+    ragged = _replicated_batch(synthetic_scene, 1)
+    model = AdaMVS(ndepths=(8, 4), depth_intervals_ratio=(4.0, 2.0), base=4,
+                   cr_base=(4, 4))
+    variables = model.init(
+        KEY, full["imgs"], full["proj_matrices"], full["depth_values"])
+    state = create_train_state(model, variables, make_optimizer(lr=1e-3))
+    logs = []
+    trainer = Trainer(model, cas_mvs_vis_loss, state, str(tmp_path / "r"),
+                      num_stages=2, log_fn=logs.append,
+                      mesh=make_mesh(data=2, tile=1), ckpt_step_freq=0)
+    means = trainer.eval_epoch(0, [full, ragged])
+    assert np.isfinite(means["loss"])
+    assert any("dropped 1" in m for m in logs), logs
+
+
+def test_trainer_eval_with_fused_reg_config(synthetic_scene, tmp_path):
+    """`cli train --reg_impl precomp` must survive the eval epoch: the eval
+    step re-packs the regularizer tree from current params (ADVICE r4)."""
+    from adamvs_tpu.models import cas_mvs_vis_loss
+    from adamvs_tpu.train import Trainer, create_train_state, make_optimizer
+
+    from jax.experimental.pallas import tpu as pltpu
+
+    batch = _replicated_batch(synthetic_scene, 1)
+    model = AdaMVS(ndepths=(8, 4), depth_intervals_ratio=(4.0, 2.0), base=4,
+                   cr_base=(4, 4), sweep_impl="fusedf32", reg_impl="precomp")
+    with pltpu.force_tpu_interpret_mode():
+        variables = model.init(
+            KEY, batch["imgs"], batch["proj_matrices"], batch["depth_values"])
+        state = create_train_state(model, variables, make_optimizer(lr=1e-3))
+        trainer = Trainer(model, cas_mvs_vis_loss, state, str(tmp_path / "p"),
+                          num_stages=2, log_fn=lambda *a: None, ckpt_step_freq=0)
+        trainer.train_epoch(0, [batch])
+        means = trainer.eval_epoch(0, [batch])
+    assert np.isfinite(means["loss"])
