@@ -697,7 +697,9 @@ class AdaMVS(nn.Module):
                 pair_results = tuple(pds)
                 weights = pair_conf
             else:
-                weights = jax.image.resize(pair_conf, (B, h, w, V - 1), method="linear")
+                weights = jax.image.resize(
+                    pair_conf, (B, h, w, V - 1), method="linear", antialias=False
+                )
                 step_interval = (self.depth_intervals_ratio[si] * interval)[:, None, None]
                 lo, step = window_min_and_interval(prev_depth, D, step_interval)
 

@@ -24,7 +24,10 @@ from .blocks import ConvBlock, DeConvFuse
 
 
 def _resize_bilinear(x: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
-    return jax.image.resize(x, (x.shape[0], h, w, x.shape[3]), method="linear")
+    # antialias=False: torch F.interpolate parity (only matters on downscale)
+    return jax.image.resize(
+        x, (x.shape[0], h, w, x.shape[3]), method="linear", antialias=False
+    )
 
 
 class _SPPBranch(nn.Module):

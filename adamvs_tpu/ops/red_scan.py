@@ -14,10 +14,16 @@ entirely on-chip, one grid step per (depth, row-tile), with
   d == 0 uses in-kernel zero states and zeroes the out-of-image margin rows
   once, so the carry buffers need no host-side initialization (works on raw
   uninitialized HBM and under ``force_tpu_interpret_mode``'s NaN fill);
-- full-width row tiles: W rides the lane dimension whole, so halos exist only
-  in the (cheap, 8-granular) sublane dimension;
-- every 3x3 conv expressed as three [Cout, 3C] x [3C, R*W] MXU contractions
-  (one per kernel column, rows = vertically rolled copies of the operand);
+- full-width row tiles DMA'd whole, with the compute inside an in-kernel
+  ``fori_loop`` over ~512-lane column panels (XPAD-lane halos per side, all
+  slice offsets 128-aligned): Mosaic's unrolled vector-op count per op is
+  bounded by the panel window, not the image width — the monolithic
+  full-width body was compile-intractable at production widths (the remote
+  Mosaic compiler was SIGKILLed at 768-2048 lanes, BASELINE.md round-4);
+- every 3x3 conv expressed as ONE [Cout, 9C] x [9C, R*W] MXU contraction
+  (rows = nine rolled copies of the operand, dx-major dy-minor), and each
+  stride-2 transposed conv as one [4Cout, 4C] phase contraction — K-dim
+  utilization, not FLOPs, bounds MXU throughput at these channel counts;
 - the half-resolution level lives in a rows-compact / lanes-SPARSE layout:
   rows are decimated by a (supported) sublane-merge reshape, but valid samples
   stay at even lanes of the full-width lane dimension — Mosaic has no lane
@@ -55,26 +61,55 @@ from jax.experimental.pallas import tpu as pltpu
 # full-res halo rows per side (>= total one-step receptive field ~8, and
 # 2x the half-res halo so the half-res windows stay 8-aligned)
 HALO = 16
-XPAD = 64  # lane pad per side of the padded spatial layout
+# lane pad per side of the padded spatial layout; doubles as the per-panel
+# lane halo (the in-step chain's lane receptive field is ~12, so 128 is
+# ample) and keeps every panel slice offset 128-aligned
+XPAD = 128
+PANEL_W = 512  # interior lanes per in-kernel column panel
+
+
+def _panel_width(w: int) -> int:
+    """Interior panel width: PANEL_W (override: ADAMVS_RED_PANEL_W, a
+    multiple of 128 — larger panels amortize the 2*XPAD lane-halo
+    overcompute but grow Mosaic's per-op unroll count), shrunk
+    (128-aligned) for narrow images so tiny inputs don't pay a full
+    512-lane panel."""
+    import os
+
+    pw = PANEL_W
+    env = os.environ.get("ADAMVS_RED_PANEL_W", "")
+    if env:
+        try:
+            pw = int(env)
+        except ValueError:
+            raise ValueError(
+                f"ADAMVS_RED_PANEL_W={env!r} is not an integer") from None
+        if pw < 128 or pw % 128:
+            raise ValueError(
+                f"ADAMVS_RED_PANEL_W={pw} invalid: must be a multiple of "
+                "128 and >= 128")
+    return min(pw, -(-w // 128) * 128)
 
 
 def spatial_dims(h: int, w: int, tile_rows: int) -> tuple[int, int, int]:
     """(nty, Hps, Wps) of the padded channel-major spatial layout
     [.., C, Hps, Wps]: rows = HALO + nty*tile_rows + HALO, lanes =
-    XPAD + w + XPAD rounded to 256 (so the half-res width is a 128
-    multiple and in-kernel [C, R, W] -> [C, R*W] reshapes are free)."""
+    XPAD + npanels*panel_w + XPAD — the kernel loops over column panels
+    whose (halo'd) windows tile this exactly, and every in-kernel slice
+    offset stays 128-aligned."""
     nty = -(-h // tile_rows)
     hps = HALO + nty * tile_rows + HALO
-    wps = -(-(w + 2 * XPAD) // 256) * 256
+    ptw = _panel_width(w)
+    npan = -(-w // ptw)
+    wps = 2 * XPAD + npan * ptw
     return nty, hps, wps
 
 
 def pick_tile_rows(w: int) -> int:
     """Row-tile height: large tiles amortize the halo overcompute
-    ((TH+2*HALO)/TH); small tiles bound VMEM at large widths AND bound the
-    Mosaic compiler's unrolled vector-op count (compile memory/time scales
-    with tiles-per-op = channels x R/8 x Wps/128 — at th=96/wps=2048 the
-    remote compiler OOMs). Override with ADAMVS_RED_TILE_ROWS."""
+    ((TH+2*HALO)/TH) at the cost of VMEM. The in-kernel panel loop bounds
+    the Mosaic compiler's per-op tile count regardless of width, so the
+    default no longer shrinks with W. Override with ADAMVS_RED_TILE_ROWS."""
     import os
 
     env = os.environ.get("ADAMVS_RED_TILE_ROWS", "")
@@ -91,8 +126,7 @@ def pick_tile_rows(w: int) -> int:
                 f"ADAMVS_RED_TILE_ROWS={th} invalid: must be a multiple of 8 "
                 f"and >= {HALO}")
         return th
-    _, _, wps = spatial_dims(8, w, 8)
-    return 48 if wps <= 1024 else 32
+    return 48
 
 
 def spatialize(vol: jnp.ndarray, tile_rows: int) -> jnp.ndarray:
@@ -135,20 +169,23 @@ def refold_spatial(
 def pack_red_params(params: dict, up: bool) -> dict:
     """AdaRedCell flax params -> matmul-ready weight matrices.
 
-    3x3 convs: [3, Cout, 3*Cin] with W[dx, o, dy*Cin + ci] = k[dy, dx, ci, o]
-    (the kernel contracts one kernel-column dx at a time against a stack of
-    three vertically rolled operand copies).
+    3x3 convs: ONE [Cout, 9*Cin] matrix, W[o, (dx*3 + dy)*Cin + ci] =
+    k[dy, dx, ci, o] — the kernel contracts it against a stack of nine
+    rolled operand copies in the same (dx-major, dy-minor) order, so the
+    whole conv is a single MXU call with K = 9*Cin (3x the K-utilization of
+    a per-kernel-column split at these tiny channel counts).
 
-    Stride-2 transposed convs: [4, Cout, 4*Cin] phase matrices, phase
-    p = 2a + c producing out[2i+a, 2j+c]; tap slots ordered by input shift
-    (dy, dx) in [(0,0), (0,1), (1,0), (1,1)] (conv2d_transpose_shift
-    semantics: k=3, s=2, torch padding 1, output_padding 1 -> phase 0 reads
-    tap ky=1 at shift 0, phase 1 reads ky=0 at shift 0 and ky=2 at shift 1).
+    Stride-2 transposed convs: ONE [4*Cout, 4*Cin] matrix of the 4 output
+    phases (phase-major rows), phase p = 2a + c producing out[2i+a, 2j+c];
+    tap slots ordered by input shift (dy, dx) in [(0,0), (0,1), (1,0),
+    (1,1)] (conv2d_transpose_shift semantics: k=3, s=2, torch padding 1,
+    output_padding 1 -> phase 0 reads tap ky=1 at shift 0, phase 1 reads
+    ky=0 at shift 0 and ky=2 at shift 1).
     """
 
     def w3(k):
         co = k.shape[3]
-        return jnp.transpose(k, (1, 3, 0, 2)).reshape(3, co, 3 * k.shape[2])
+        return jnp.transpose(k, (3, 1, 0, 2)).reshape(co, 9 * k.shape[2])
 
     def wdec(k):
         ci, co = k.shape[2], k.shape[3]
@@ -162,7 +199,7 @@ def pack_red_params(params: dict, up: bool) -> dict:
                         out = out.at[2 * a + c, :, s * ci : (s + 1) * ci].set(
                             k[ky, kx].T
                         )
-        return out
+        return out.reshape(4 * co, 4 * ci)
 
     def b2(v):
         return v.reshape(-1, 1)
@@ -191,31 +228,44 @@ def _roll(x, shift, axis):
     return pltpu.roll(x, shift, axis=axis)
 
 
-def _conv3(x, w3, dt, lane_step: int = 1):
-    """x [C, R, W] (f32, W % 128 == 0), w3 [3, Cout, 3C] -> f32 [Cout, R*W].
+def _mm_precision(dt):
+    """MXU precision for contractions whose operands are cast to ``dt``."""
+    return jax.lax.Precision.HIGHEST if dt == jnp.float32 else jax.lax.Precision.DEFAULT
+
+
+def _conv3(x, w9, dt, lane_step: int = 1):
+    """x [C, R, W] (f32, W % 128 == 0), w9 [Cout, 9C] -> f32 [Cout, R*W].
 
     Tap (dy, dx) reads x[r-1+dy, p-(1-dx)*lane_step]; rolls wrap, corrupting
     only window edge rows/lanes, which stay inside the halo / lane-pad
     margins. ``lane_step=2`` is the lanes-sparse half-res form: valid samples
     sit at even lanes, so a half-res column step is two lanes.
 
+    The nine rolled copies are stacked (dx-major, dy-minor — the
+    pack_red_params weight order) and contracted in ONE MXU call with
+    K = 9C: at 8-32 channels this triples the MXU K-utilization vs a
+    per-kernel-column split.
+
     In-kernel values stay f32 — Mosaic's rotate only exists for 32-bit data —
     and are cast to the compute dtype ``dt`` per rolled piece right before the
-    MXU contraction (bf16 matmul speed, f32 vector ops)."""
+    MXU contraction (bf16 matmul speed, f32 vector ops). For f32 ``dt`` the
+    contraction requests HIGHEST precision: the MXU's DEFAULT lowers f32
+    matmuls through bf16 passes (~1e-3 relative), which would fail f32
+    parity with the XLA scan path."""
     C, R, W = x.shape
-    acc = None
+    pieces = []
     for dx in range(3):
         xr = x if dx == 1 else _roll(x, (1 - dx) * lane_step, axis=2)
-        stack = jnp.concatenate(
-            [_roll(xr, 1, axis=1).astype(dt), xr.astype(dt),
-             _roll(xr, -1, axis=1).astype(dt)], axis=0
-        ).reshape(3 * C, R * W)
-        t = jax.lax.dot_general(
-            w3[dx].astype(dt), stack,
-            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-        )
-        acc = t if acc is None else acc + t
-    return acc
+        pieces += [
+            _roll(xr, 1, axis=1).astype(dt), xr.astype(dt),
+            _roll(xr, -1, axis=1).astype(dt),
+        ]
+    stack = jnp.concatenate(pieces, axis=0).reshape(9 * C, R * W)
+    return jax.lax.dot_general(
+        w9[:].astype(dt), stack,
+        (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        precision=_mm_precision(dt),
+    )
 
 
 def _rows_dec2(x):
@@ -240,16 +290,16 @@ def _lane_parity_masks(shape, dt):
 
 
 def _phase_mm(x4, w4, bias, dt, co, R, W):
-    """The 4 output-phase contractions of a stride-2 transposed conv:
-    x4 [4C, R*W] tap stack -> list of 4 f32 [co, R, W] phase results."""
-    ph = []
-    for p in range(4):
-        t = jax.lax.dot_general(
-            w4[p].astype(dt), x4,
-            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-        )
-        ph.append((t + bias).reshape(co, R, W))
-    return ph
+    """The 4 output-phase contractions of a stride-2 transposed conv in ONE
+    MXU call: x4 [4C, R*W] tap stack, w4 [4co, 4C] (phase-major rows) ->
+    list of 4 f32 [co, R, W] phase results."""
+    t = jax.lax.dot_general(
+        w4[:].astype(dt), x4,
+        (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        precision=_mm_precision(dt),
+    )
+    t = (t + jnp.tile(bias, (4, 1))).reshape(4, co, R, W)
+    return [t[p] for p in range(4)]
 
 
 def _tap_stack(x, dt, lane_shift: int):
@@ -272,7 +322,7 @@ def _deconv_half_to_full(x, w4, bias, dt):
     +1 lane roll onto odd lanes — parity-masked adds replace the (unsupported)
     lane interleave."""
     C, Rh, W = x.shape
-    co = w4.shape[1]
+    co = w4.shape[0] // 4
     x4 = _tap_stack(x, dt, 2)
     ph = _phase_mm(x4, w4, bias, dt, co, Rh, W)
     even, odd = _lane_parity_masks((Rh, W), jnp.float32)
@@ -287,7 +337,7 @@ def _deconv_up_phases(x, w4, bias, dt):
     is out[2i+a, 2j+c] = (c_c)[2i+a, j] — rows interleaved in-kernel, the lane
     interleave deferred to one XLA reshape outside."""
     C, R, W = x.shape
-    co = w4.shape[1]
+    co = w4.shape[0] // 4
     x4 = _tap_stack(x, dt, 1)
     ph = _phase_mm(x4, w4, bias, dt, co, R, W)
     return _ilv_rows(ph[0], ph[2]), _ilv_rows(ph[1], ph[3])
@@ -300,7 +350,7 @@ def _red_scan_kernel(
     h1_ref, h2_ref,  # HBM carry ping-pong [2, B, ch, rows, lanes]
     vwin, h1win, h2win, h1out, h2out, sems,
     *, cin: int, base: int, up: bool, th: int, h: int, w: int,
-    hps: int, wps: int, dt,
+    hps: int, wps: int, ptw: int, npan: int, dt,
 ):
     b_i = pl.program_id(0)
     d = pl.program_id(1)
@@ -309,6 +359,7 @@ def _red_scan_kernel(
     bch = base
     R = th + 2 * HALO
     Rh = th // 2 + HALO
+    PW = ptw + 2 * XPAD  # panel window width (interior + lane halos)
     pr = jax.lax.rem(d, 2)
     pw = 1 - pr
     row0 = ty * th
@@ -363,87 +414,121 @@ def _red_scan_kernel(
         h1win[:] = jnp.zeros_like(h1win)
         h2win[:] = jnp.zeros_like(h2win)
 
-    # in-image masks (global image row = row0 - HALO + r, col = lane - XPAD).
-    # Half-res level: rows compact (half-row Y = rowh0 - HALO/2 + q), lanes
-    # sparse (half-col j at lane XPAD + 2j) — valid iff the lane's image col
-    # is even and in [0, w).
-    rr = jax.lax.broadcasted_iota(jnp.int32, (R, wps), 0) + (row0 - HALO)
-    cc = jax.lax.broadcasted_iota(jnp.int32, (R, wps), 1) - XPAD
-    mask = ((rr >= 0) & (rr < h) & (cc >= 0) & (cc < w)).astype(jnp.float32)[None]
-    rrh = jax.lax.broadcasted_iota(jnp.int32, (Rh, wps), 0) + (rowh0 - HALO // 2)
-    cch = jax.lax.broadcasted_iota(jnp.int32, (Rh, wps), 1) - XPAD
-    maskh = (
-        (rrh >= 0) & (rrh < (h + 1) // 2)
-        & (cch >= 0) & (cch < w) & (cch % 2 == 0)
-    ).astype(jnp.float32)[None]
+    # the panel loop writes only interior lanes [XPAD, wps-XPAD); the lane
+    # margins of the carry-out buffers must be zero (next step's conv taps at
+    # the first/last image column read one lane into them)
+    h1out[:, :, :XPAD] = jnp.zeros_like(h1out[:, :, :XPAD])
+    h1out[:, :, wps - XPAD :] = jnp.zeros_like(h1out[:, :, wps - XPAD :])
+    h2out[:, :, :XPAD] = jnp.zeros_like(h2out[:, :, :XPAD])
+    h2out[:, :, wps - XPAD :] = jnp.zeros_like(h2out[:, :, wps - XPAD :])
 
+    # All compute runs inside a fori_loop over column panels: each iteration
+    # sees a [.., R, PW] window (interior ptw lanes + XPAD halo per side), so
+    # the Mosaic compiler's unrolled vector-op count is bounded by PW — not
+    # by the image width (the monolithic full-width body was compile-
+    # intractable at production widths, BASELINE.md round-4). The chain's
+    # in-step lane receptive field (~12) is far inside the halo, and rolls
+    # wrap only within the window, corrupting lanes the interior never reads.
+    #
     # All in-kernel vector values are f32 (Mosaic rotate is 32-bit only;
     # sigmoid/tanh lowering likewise rejects bf16); ``dt`` appears only in the
     # DMA scratch buffers and as the per-piece cast at MXU contraction inputs
     # (see _conv3), so bf16 configs keep bf16 matmul throughput and halve the
     # carry/volume HBM traffic.
     cp_v.wait()
-    x = vwin[:].astype(jnp.float32) * mask
-    # mask every conv input: even bias-free outputs are nonzero in the ring
-    # just outside the image (taps reach inside), where XLA reads zero padding
-    c1 = jnp.maximum(_conv3(x, wc1, dt), 0.0).reshape(bch, R, wps)
-    c1 = c1 * mask
 
     @pl.when(d > 0)
     def _():
         cp_h1.wait()
+        cp_h2.wait()
 
-    h1 = h1win[:].astype(jnp.float32)
-    g = _conv3(jnp.concatenate([c1, h1], axis=0), wg1, dt) + bg1[:]
-    r = jax.nn.sigmoid(g[:bch]).reshape(bch, R, wps)
-    u = jax.nn.sigmoid(g[bch:]).reshape(bch, R, wps)
-    cand = _conv3(jnp.concatenate([c1, r * h1], axis=0), wn1, dt)
-    cand = jnp.tanh(cand + bn1[:]).reshape(bch, R, wps)
-    h1n = (u * h1 + (1.0 - u) * cand) * mask  # mask: biased, leaks otherwise
-    h1out[:] = h1n[:, HALO : HALO + th, :].astype(dt)
+    def panel(j, carry):
+        ws = pl.multiple_of(j * ptw, 128)  # window start lane
+        io = pl.multiple_of(ws + XPAD, 128)  # interior start lane
+
+        # in-image masks (global image row = row0 - HALO + r, col =
+        # ws + lane - XPAD). Half-res level: rows compact (half-row Y =
+        # rowh0 - HALO/2 + q), lanes sparse — valid iff the lane's image col
+        # is even and in [0, w). ws is a multiple of 128, so window-lane
+        # parity == global-lane parity.
+        rr = jax.lax.broadcasted_iota(jnp.int32, (R, PW), 0) + (row0 - HALO)
+        cc = jax.lax.broadcasted_iota(jnp.int32, (R, PW), 1) + (ws - XPAD)
+        mask = ((rr >= 0) & (rr < h) & (cc >= 0) & (cc < w)).astype(jnp.float32)[None]
+        rrh = jax.lax.broadcasted_iota(jnp.int32, (Rh, PW), 0) + (rowh0 - HALO // 2)
+        cch = jax.lax.broadcasted_iota(jnp.int32, (Rh, PW), 1) + (ws - XPAD)
+        maskh = (
+            (rrh >= 0) & (rrh < (h + 1) // 2)
+            & (cch >= 0) & (cch < w) & (cch % 2 == 0)
+        ).astype(jnp.float32)[None]
+
+        x = vwin[:, :, pl.ds(ws, PW)].astype(jnp.float32) * mask
+        # mask every conv input: even bias-free outputs are nonzero in the
+        # ring just outside the image (taps reach inside), where XLA reads
+        # zero padding
+        c1 = jnp.maximum(_conv3(x, wc1, dt), 0.0).reshape(bch, R, PW)
+        c1 = c1 * mask
+
+        h1 = h1win[:, :, pl.ds(ws, PW)].astype(jnp.float32)
+        g = _conv3(jnp.concatenate([c1, h1], axis=0), wg1, dt) + bg1[:]
+        r = jax.nn.sigmoid(g[:bch]).reshape(bch, R, PW)
+        u = jax.nn.sigmoid(g[bch:]).reshape(bch, R, PW)
+        cand = _conv3(jnp.concatenate([c1, r * h1], axis=0), wn1, dt)
+        cand = jnp.tanh(cand + bn1[:]).reshape(bch, R, PW)
+        h1n = (u * h1 + (1.0 - u) * cand) * mask  # mask: biased, leaks otherwise
+        h1out[:, :, pl.ds(io, ptw)] = h1n[
+            :, HALO : HALO + th, XPAD : XPAD + ptw
+        ].astype(dt)
+
+        # stride-2 down conv at full res, then decimate rows (sublane
+        # reshape); lanes stay sparse — valid half-res samples at even lanes.
+        # Row alignment: full row r <-> image y = row0+r-HALO, half q <->
+        # y/2 = row0/2+q-HALO/2, so even window rows 0..2Rh map exactly onto
+        # the half-res window.
+        c2f = jnp.maximum(_conv3(h1n, wc2, dt), 0.0).reshape(2 * bch, R, PW)
+        c2 = _rows_dec2(c2f)[:, :Rh, :] * maskh  # [2b, Rh, PW] lanes-sparse
+
+        h2 = h2win[:, :, pl.ds(ws, PW)].astype(jnp.float32)
+        g2 = _conv3(jnp.concatenate([c2, h2], axis=0), wg2, dt, lane_step=2) + bg2[:]
+        r2g = jax.nn.sigmoid(g2[: 2 * bch]).reshape(2 * bch, Rh, PW)
+        u2g = jax.nn.sigmoid(g2[2 * bch :]).reshape(2 * bch, Rh, PW)
+        cand2 = _conv3(jnp.concatenate([c2, r2g * h2], axis=0), wn2, dt, lane_step=2)
+        cand2 = jnp.tanh(cand2 + bn2[:]).reshape(2 * bch, Rh, PW)
+        h2n = (u2g * h2 + (1.0 - u2g) * cand2) * maskh  # odd lanes exactly 0
+        h2out[:, :, pl.ds(io, ptw)] = h2n[
+            :, HALO // 2 : HALO // 2 + th // 2, XPAD : XPAD + ptw
+        ].astype(dt)
+
+        # up path: u1 = relu(deconv(r2) + r1); deconv output rows 2q+a align
+        # with the full-res window exactly (half window row 0 <-> full window
+        # row 0)
+        u1 = _deconv_half_to_full(h2n, wu1, bu1[:], dt)  # [b, 2*Rh, PW] dense
+        u1 = jnp.maximum(u1[:, :R, :] + h1n, 0.0) * mask
+
+        if up:
+            c0, c1v = _deconv_up_phases(u1, wh, bh[:], dt)  # each [1, 2R, PW]
+            cost_ref[0, 0, 0, :, pl.ds(io, ptw)] = c0[
+                0, 2 * HALO : 2 * HALO + 2 * th, XPAD : XPAD + ptw
+            ].astype(dt)
+            cost_ref[0, 0, 1, :, pl.ds(io, ptw)] = c1v[
+                0, 2 * HALO : 2 * HALO + 2 * th, XPAD : XPAD + ptw
+            ].astype(dt)
+        else:
+            out = (_conv3(u1, wh, dt) + bh[:]).reshape(1, R, PW)
+            cost_ref[0, 0, :, pl.ds(io, ptw)] = out[
+                0, HALO : HALO + th, XPAD : XPAD + ptw
+            ].astype(dt)
+        return carry
+
+    jax.lax.fori_loop(0, npan, panel, 0)
+
     wr_h1 = pltpu.make_async_copy(
         h1out, h1_ref.at[pw, b_i, :, pl.ds(HALO + row0, th), :], sems.at[3]
     )
     wr_h1.start()
-
-    # stride-2 down conv at full res, then decimate rows (sublane reshape);
-    # lanes stay sparse — valid half-res samples at even lanes.
-    # Row alignment: full row r <-> image y = row0+r-HALO, half q <-> y/2 =
-    # row0/2+q-HALO/2, so even window rows 0..2Rh map exactly onto the
-    # half-res window.
-    c2f = jnp.maximum(_conv3(h1n, wc2, dt), 0.0).reshape(2 * bch, R, wps)
-    c2 = _rows_dec2(c2f)[:, :Rh, :] * maskh  # [2b, Rh, wps] lanes-sparse
-
-    @pl.when(d > 0)
-    def _():
-        cp_h2.wait()
-
-    h2 = h2win[:].astype(jnp.float32)
-    g2 = _conv3(jnp.concatenate([c2, h2], axis=0), wg2, dt, lane_step=2) + bg2[:]
-    r2g = jax.nn.sigmoid(g2[: 2 * bch]).reshape(2 * bch, Rh, wps)
-    u2g = jax.nn.sigmoid(g2[2 * bch :]).reshape(2 * bch, Rh, wps)
-    cand2 = _conv3(jnp.concatenate([c2, r2g * h2], axis=0), wn2, dt, lane_step=2)
-    cand2 = jnp.tanh(cand2 + bn2[:]).reshape(2 * bch, Rh, wps)
-    h2n = (u2g * h2 + (1.0 - u2g) * cand2) * maskh  # odd lanes exactly 0
-    h2out[:] = h2n[:, HALO // 2 : HALO // 2 + th // 2, :].astype(dt)
     wr_h2 = pltpu.make_async_copy(
         h2out, h2_ref.at[pw, b_i, :, pl.ds(HALO // 2 + rowh0, th // 2), :], sems.at[4]
     )
     wr_h2.start()
-
-    # up path: u1 = relu(deconv(r2) + r1); deconv output rows 2q+a align with
-    # the full-res window exactly (half window row 0 <-> full window row 0)
-    u1 = _deconv_half_to_full(h2n, wu1, bu1[:], dt)  # [b, 2*Rh, wps] dense
-    u1 = jnp.maximum(u1[:, :R, :] + h1n, 0.0) * mask
-
-    if up:
-        c0, c1v = _deconv_up_phases(u1, wh, bh[:], dt)  # each [1, 2R, wps]
-        cost_ref[0, 0, 0] = c0[0, 2 * HALO : 2 * HALO + 2 * th, :].astype(dt)
-        cost_ref[0, 0, 1] = c1v[0, 2 * HALO : 2 * HALO + 2 * th, :].astype(dt)
-    else:
-        out = (_conv3(u1, wh, dt) + bh[:]).reshape(1, R, wps)
-        cost_ref[0, 0] = out[0, HALO : HALO + th, :].astype(dt)
-
     wr_h1.wait()
     wr_h2.wait()
 
@@ -471,6 +556,8 @@ def ada_red_scan(
     assert th >= HALO and th % 8 == 0, th  # margin writes source from h1out
     nty, hps, wps = spatial_dims(h, w, th)
     assert vol_sp.shape[2:] == (cin, hps, wps), (vol_sp.shape, (cin, hps, wps))
+    ptw = _panel_width(w)
+    npan = -(-w // ptw)
     R = th + 2 * HALO
     Rh = th // 2 + HALO
     hpsh = HALO // 2 + nty * (th // 2) + HALO // 2
@@ -502,7 +589,7 @@ def ada_red_scan(
     cost, _, _ = pl.pallas_call(
         functools.partial(
             _red_scan_kernel, cin=cin, base=bch, up=up, th=th, h=h, w=w,
-            hps=hps, wps=wps, dt=dt,
+            hps=hps, wps=wps, ptw=ptw, npan=npan, dt=dt,
         ),
         grid=(B, D, nty),
         in_specs=[hbm] + wspecs,

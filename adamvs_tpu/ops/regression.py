@@ -22,10 +22,19 @@ import jax.numpy as jnp
 
 def resize_bilinear(x: jnp.ndarray, height: int, width: int) -> jnp.ndarray:
     """torch ``F.interpolate(mode='bilinear', align_corners=False)`` equivalent
-    on the trailing two spatial dims of an arbitrarily-batched array."""
+    on the trailing two spatial dims of an arbitrarily-batched array.
+
+    ``antialias=False`` is required for parity when DOWNSCALING: torch's
+    bilinear interpolate never widens the kernel, while jax.image.resize
+    antialiases by default — the mismatch shifted MSREDNet's stage-2/3
+    hypothesis windows (full-res window -> stage-res resize,
+    /root/reference/models/msrednet.py:320-322) by up to 3e-2 of the depth
+    range (caught by test_msrednet_full_cascade_parity)."""
     if x.shape[-2] == height and x.shape[-1] == width:
         return x
-    return jax.image.resize(x, x.shape[:-2] + (height, width), method="linear")
+    return jax.image.resize(
+        x, x.shape[:-2] + (height, width), method="linear", antialias=False
+    )
 
 
 def depth_regression(prob: jnp.ndarray, depth_values: jnp.ndarray) -> jnp.ndarray:

@@ -78,7 +78,12 @@ def make_inputs(height, width, views, batch):
 
 def run_bench(height, width, views, numdepth, iters, model_name, warmup=1,
               warp_impl="gather", dtype=None, batch=1, bands=None, remat=True,
-              sweep_impl="scan", fuse_d_chunk=16, reg_impl="scan"):
+              sweep_impl="scan", fuse_d_chunk=16, reg_impl="scan",
+              data_parallel=1):
+    """``data_parallel=N``: the multi-chip predict work-queue modeled as SPMD —
+    N frames sharded one-per-device over a (data,) mesh (frames are
+    independent, so this is the per-chip throughput of the predict work queue,
+    parallel/distributed predict)."""
     import jax
     import jax.numpy as jnp
 
@@ -105,8 +110,8 @@ def run_bench(height, width, views, numdepth, iters, model_name, warmup=1,
     if dtype == "bf16":
         kw["dtype"] = jnp.bfloat16
     model = build_model(model_name, **kw)
-    imgs, projs, dv = make_inputs(height, width, views, batch)
-    B = batch
+    imgs, projs, dv = make_inputs(height, width, views, batch * data_parallel)
+    B = batch * data_parallel
 
     # conv params are spatial-size-independent: init cheaply at a small size
     variables = model.init(
@@ -119,6 +124,19 @@ def run_bench(height, width, views, numdepth, iters, model_name, warmup=1,
         from adamvs_tpu.models.adamvs import model_pack_reg
 
         apply_kw["packed_reg"] = model_pack_reg(model, variables)
+
+    if data_parallel > 1:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from adamvs_tpu.parallel import make_mesh, replicate
+
+        mesh = make_mesh(data=data_parallel, tile=1)
+        variables = replicate(variables, mesh)
+        apply_kw = replicate(apply_kw, mesh)
+        sb = NamedSharding(mesh, P("data"))
+        imgs = jax.device_put(imgs, sb)
+        projs = {k: jax.device_put(v, sb) for k, v in projs.items()}
+        dv = jax.device_put(dv, sb)
 
     @jax.jit
     def fwd(variables, imgs, projs, dv):
@@ -181,12 +199,18 @@ def make_train_batch(height, width, views, batch):
 
 def run_train_bench(height, width, views, iters, model_name, warmup=2,
                     warp_impl="gather", dtype=None, batch=1, remat=True,
-                    sweep_impl="scan", fuse_d_chunk=16):
+                    sweep_impl="scan", fuse_d_chunk=16, data_parallel=1):
     """Steps/s of the FULL jitted train step (fwd + loss + bwd + RMSprop
     update) — the training half of the runtime surface
     (train_whu.py:265-300). With sweep_impl fused*, the forward runs the
     Pallas sweep kernels and the backward the gather-recompute custom VJPs
-    (ops/sweep_fuse.py *_t)."""
+    (ops/sweep_fuse.py *_t).
+
+    ``data_parallel=N`` runs the step on an N-device (data,) mesh with the
+    GLOBAL batch = N x ``batch`` sharded over it (the scaling-efficiency
+    harness: same code path as cli.cmd_train --data_parallel). On this image
+    only the virtual CPU mesh has multiple devices (wiring proof); on a real
+    multi-chip TPU the identical invocation measures true ICI scaling."""
     import jax
     import jax.numpy as jnp
 
@@ -198,14 +222,20 @@ def run_train_bench(height, width, views, iters, model_name, warmup=2,
     if dtype == "bf16":
         kw["dtype"] = jnp.bfloat16
     model = build_model(model_name, **kw)
-    batch_d = make_train_batch(height, width, views, batch)
+    batch_d = make_train_batch(height, width, views, batch * data_parallel)
 
     variables = model.init(
         jax.random.PRNGKey(0),
-        jnp.zeros((batch, views, 64, 96, 3), jnp.float32),
+        jnp.zeros((batch * data_parallel, views, 64, 96, 3), jnp.float32),
         batch_d["proj_matrices"], batch_d["depth_values"],
     )
     state = create_train_state(model, variables, make_optimizer(lr=1e-3))
+    if data_parallel > 1:
+        from adamvs_tpu.parallel import make_mesh, replicate, shard_batch
+
+        mesh = make_mesh(data=data_parallel, tile=1)
+        state = replicate(state, mesh)
+        batch_d = shard_batch(batch_d, mesh)
     step = make_train_step(model_loss(model_name), (0.5, 1.0, 2.0))
 
     flops = nbytes = None
@@ -366,6 +396,14 @@ def main():
     ap.add_argument("--remat", default="on", choices=["on", "off"],
                     help="nn.remat around the sweep cells (identity math at "
                          "eval; measures the flax-scan overhead it induces)")
+    ap.add_argument("--data_parallel", type=int, default=1,
+                    help="N-device scaling-efficiency harness: run the step "
+                         "on a (data=N,) mesh with the global batch sharded "
+                         "over it AND on 1 device, and report steps/s-per-"
+                         "chip efficiency. Needs N devices (use "
+                         "JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_"
+                         "platform_device_count=N for the wiring proof; on "
+                         "real multi-chip hardware it measures ICI scaling)")
     args = ap.parse_args()
 
     if args.small:
@@ -381,26 +419,40 @@ def main():
     if args.mode == "train":
         # reference-like training crop (full-res oblique patches)
         th_, tw_ = (384, 768) if not args.small else (192, 384)
-        sec, flops, nbytes = run_train_bench(
-            th_, tw_, 5, args.iters, args.model,
+        bench_kw = dict(
             warp_impl=args.warp_impl, dtype=args.dtype, batch=args.batch,
             remat=args.remat == "on", sweep_impl=args.sweep_impl,
             fuse_d_chunk=args.fuse_d_chunk,
         )
-        steps_per_s = args.batch / sec
+        sec, flops, nbytes = run_train_bench(
+            th_, tw_, 5, args.iters, args.model,
+            data_parallel=args.data_parallel, **bench_kw,
+        )
+        steps_per_s = args.batch * args.data_parallel / sec
         result = {
             "metric": f"{args.model}_train_{th_}x{tw_}_steps_per_s_per_chip",
-            "value": round(steps_per_s, 5),
+            "value": round(steps_per_s / args.data_parallel, 5),
             "unit": "train_steps/s/chip",
             # modeled reference anchor (BASELINE.md "Training throughput
             # anchor"): eager per-slice GPU loop, fwd+bwd ~3x fwd flops at
             # 1/17 the bench-map pixels -> ~0.5 steps/s
-            "vs_baseline": round(steps_per_s / 0.5, 3),
+            "vs_baseline": round(steps_per_s / args.data_parallel / 0.5, 3),
             "config": {
                 "warp_impl": args.warp_impl, "sweep_impl": args.sweep_impl,
                 "dtype": args.dtype, "batch": args.batch, "remat": args.remat,
             },
         }
+        if args.data_parallel > 1:
+            sec1, _, _ = run_train_bench(
+                th_, tw_, 5, args.iters, args.model, **bench_kw)
+            result["config"]["data_parallel"] = args.data_parallel
+            result["scaling"] = {
+                "n_devices": args.data_parallel,
+                "global_steps_per_s": round(args.batch * args.data_parallel / sec, 5),
+                "one_device_steps_per_s": round(args.batch / sec1, 5),
+                # per-chip throughput retained vs the 1-chip run
+                "efficiency": round(sec1 / sec, 4),
+            }
         if flops:
             result["tflops_per_s"] = round(flops / sec / 1e12, 3)
         if nbytes:
@@ -408,25 +460,38 @@ def main():
         print(json.dumps(result))
         return result
 
-    sec_per_batch, flops, nbytes = run_bench(
-        h, w, 5, nd, args.iters, args.model,
+    bench_kw = dict(
         warp_impl=args.warp_impl, dtype=args.dtype, batch=args.batch, bands=bands,
         remat=args.remat == "on", sweep_impl=args.sweep_impl,
         fuse_d_chunk=args.fuse_d_chunk, reg_impl=args.reg_impl,
     )
-    maps_per_s = args.batch / sec_per_batch
+    sec_per_batch, flops, nbytes = run_bench(
+        h, w, 5, nd, args.iters, args.model,
+        data_parallel=args.data_parallel, **bench_kw,
+    )
+    maps_per_s = args.batch * args.data_parallel / sec_per_batch
     result = {
         "metric": f"{args.model}_predict_{h}x{w}_d{nd}_depth_maps_per_s_per_chip",
-        "value": round(maps_per_s, 5),
+        "value": round(maps_per_s / args.data_parallel, 5),
         "unit": "depth_maps/s/chip",
-        "vs_baseline": round(maps_per_s / REF_GPU_DEPTH_MAPS_PER_S, 3),
-        "vs_baseline_strict": round(maps_per_s / REF_GPU_DEPTH_MAPS_PER_S_STRICT, 3),
+        "vs_baseline": round(maps_per_s / args.data_parallel / REF_GPU_DEPTH_MAPS_PER_S, 3),
+        "vs_baseline_strict": round(
+            maps_per_s / args.data_parallel / REF_GPU_DEPTH_MAPS_PER_S_STRICT, 3),
         "config": {
             "warp_impl": args.warp_impl, "sweep_impl": args.sweep_impl,
             "reg_impl": args.reg_impl, "dtype": args.dtype,
             "batch": args.batch, "remat": args.remat,
         },
     }
+    if args.data_parallel > 1:
+        sec1, _, _ = run_bench(h, w, 5, nd, args.iters, args.model, **bench_kw)
+        result["config"]["data_parallel"] = args.data_parallel
+        result["scaling"] = {
+            "n_devices": args.data_parallel,
+            "global_maps_per_s": round(maps_per_s, 5),
+            "one_device_maps_per_s": round(args.batch / sec1, 5),
+            "efficiency": round(sec1 / sec_per_batch, 4),
+        }
     if flops:
         result["tflops_per_s"] = round(flops / sec_per_batch / 1e12, 3)
     if nbytes:

@@ -275,3 +275,88 @@ def test_msrednet_stage_torch_parity():
     scale = dmax - dmin
     err = np.abs(got - want) / scale
     assert err.max() < 2e-3, f"stage depth mismatch: rel max {err.max():.2e}"
+
+
+def test_msrednet_full_cascade_parity():
+    """Complete 3-stage cascade cross-framework parity (VERDICT r4 missing
+    #1): the torch replica runs the reference's exact cascade control flow —
+    previous depth bilinearly upsampled to FULL image resolution
+    (msrednet.py:304-306), the per-pixel hypothesis window built at full
+    resolution, the hypothesis volume trilinear-resized to [D, h_k, w_k]
+    (msrednet.py:320-322), variance aggregation, per-slice 4-state GN-GRU
+    regularization, and softmax regression at stage resolution. The flax
+    model implements the spatial resize via affine commutation (resize
+    lo/step instead of the volume — exact for the depth-size-preserving
+    trilinear call); this test proves the chains agree end to end.
+
+    Documented deviation (PARITY.md "stage-1 sweep endpoints"): the
+    reference's stage-1 train/test sweep spans min -> *interval* (a bug —
+    depth_values[:, -1] picked as the window top, msrednet.py:279-310);
+    both the flax model and this replica use min -> max."""
+    tm, model, variables = _import_tiny()
+    rng = np.random.RandomState(13)
+    B, V, H, W = 1, 3, 64, 64
+    imgs = rng.randn(B, V, H, W, 3).astype(np.float32)
+    dmin, dmax, dint = 300.0, 500.0, 25.0
+    dv = np.array([[dmin, dmax, dint]], np.float32)
+    projs = {}
+    for k, s in (("stage1", 4), ("stage2", 2), ("stage3", 1)):
+        p = _real_cameras(B, V, H, W)
+        p[:, :, :2, :] /= s
+        projs[k] = p
+
+    out = model.apply(variables, jnp.asarray(imgs),
+                      {k: jnp.asarray(v) for k, v in projs.items()},
+                      jnp.asarray(dv), train=False)
+
+    with torch.no_grad():
+        feats = [tm.feature(torch.tensor(imgs[:, v].transpose(0, 3, 1, 2)))
+                 for v in range(V)]
+        depth = None
+        want = {}
+        for si, (D, ratio, C) in enumerate([(8, 4.0, 32), (4, 2.0, 16), (4, 1.0, 8)]):
+            key = f"stage{si + 1}"
+            scale = (4, 2, 1)[si]
+            h, w = H // scale, W // scale
+            if depth is None:
+                base = dmin + np.arange(D, dtype=np.float32) * (dmax - dmin) / (D - 1)
+                samp = torch.tensor(base).reshape(1, D, 1, 1).expand(B, D, H, W)
+            else:
+                cur_full = F.interpolate(depth.unsqueeze(1), [H, W],
+                                         mode="bilinear",
+                                         align_corners=False).squeeze(1)
+                ik = ratio * dint
+                lo = cur_full - D / 2 * ik
+                step = (cur_full + D / 2 * ik - lo) / (D - 1)
+                samp = lo.unsqueeze(1) + torch.arange(D, dtype=torch.float32
+                                                      ).reshape(1, -1, 1, 1) * step.unsqueeze(1)
+            hyp = F.interpolate(samp.unsqueeze(1), [D, h, w], mode="trilinear",
+                                align_corners=False).squeeze(1)  # [B,D,h,w]
+
+            ref_f = feats[0][key]
+            s = ref_f.unsqueeze(2).expand(B, C, D, h, w).contiguous()
+            sq = s ** 2
+            for v in range(1, V):
+                warped = torch_homo_warp(feats[v][key], projs[key][:, v],
+                                         projs[key][:, 0], hyp)
+                s = s + warped
+                sq = sq + warped ** 2
+            variance = sq / V - (s / V) ** 2
+
+            states = [torch.zeros(1, c, h // st, w // st)
+                      for c, st in ((8, 1), (16, 2), (32, 4), (64, 8))]
+            costs = []
+            for d in range(D):
+                c_slice, *states = tm.cost_regularization[si].forward_slice(
+                    variance[:, :, d], *states)
+                costs.append(c_slice[:, 0])
+            cost = torch.stack(costs, dim=1)
+            prob = torch.softmax(cost, dim=1)
+            depth = torch.sum(prob * hyp, dim=1)
+            want[key] = depth.numpy()
+
+    scale = dmax - dmin
+    for key in ("stage1", "stage2", "stage3"):
+        got = np.asarray(out[key]["depth"])
+        err = np.abs(got - want[key]) / scale
+        assert err.max() < 1e-4, f"{key} depth mismatch: rel max {err.max():.2e}"
