@@ -42,6 +42,7 @@ class ConvBlock(nn.Module):
     use_bn: bool = True
     relu: bool = True
     dtype: Any = None
+    use_stock: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -51,6 +52,7 @@ class ConvBlock(nn.Module):
             strides=(self.stride, self.stride),
             use_bias=not self.use_bn,
             dtype=self.dtype,
+            use_stock=self.use_stock,
         )(x)
         if self.use_bn:
             x = nn.BatchNorm(
@@ -70,6 +72,7 @@ class DeconvBlock(nn.Module):
     use_bn: bool = True
     relu: bool = True
     dtype: Any = None
+    use_stock: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -79,6 +82,7 @@ class DeconvBlock(nn.Module):
             strides=(2, 2),
             use_bias=not self.use_bn,
             dtype=self.dtype,
+            use_stock=self.use_stock,
         )(x)
         if self.use_bn:
             x = nn.BatchNorm(
@@ -183,9 +187,12 @@ class DeConvFuse(nn.Module):
     features: int
     kernel: int = 3
     dtype: Any = None
+    use_stock: bool = False
 
     @nn.compact
     def __call__(self, skip: jnp.ndarray, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        x = DeconvBlock(self.features, self.kernel, dtype=self.dtype)(x, train)
+        x = DeconvBlock(self.features, self.kernel, dtype=self.dtype,
+                        use_stock=self.use_stock)(x, train)
         x = jnp.concatenate([x, skip], axis=-1)
-        return ConvBlock(self.features, self.kernel, dtype=self.dtype)(x, train)
+        return ConvBlock(self.features, self.kernel, dtype=self.dtype,
+                         use_stock=self.use_stock)(x, train)

@@ -42,6 +42,16 @@ _DISABLE_SHIFT = os.environ.get("ADAMVS_NO_SHIFT_CONV", "") not in ("", "0")
 _SHIFT_MAX = int(os.environ.get("ADAMVS_SHIFT_MAX", "16"))
 
 
+def _stock_ok() -> bool:
+    """``use_stock`` is a TPU-layout/perf preference, vetoed on the XLA:CPU
+    backend: stock conv thunks under an 8-virtual-device mesh stall the CPU
+    collective rendezvous (the multichip dryrun died with 7-of-8 rendezvous
+    timeouts when the feature net switched to stock convs — same failure
+    class as the im2col note in ``conv2d_shift``). CPU is only the test /
+    dryrun backend; the shift path is numerically equivalent there."""
+    return jax.default_backend() != "cpu"
+
+
 def _use_shift(ci: int, co: int) -> bool:
     """Slope-timed on TPU v5e (tools/conv_probe3.py, 1376x928 spatial): the
     shift-einsum path wins only when one side is <=8 channels and the other
@@ -201,7 +211,8 @@ class FastConvTranspose(nn.Module):
         dt = self.dtype or x.dtype
         xc = x.astype(dt)
         kc = kernel.astype(dt)
-        if (not self.use_stock and _use_shift(Ci, self.features)
+        if (not (self.use_stock and _stock_ok())
+                and _use_shift(Ci, self.features)
                 and self.strides[0] == self.strides[1]):
             y = conv2d_transpose_shift(xc, kc, self.strides[0])
         else:
@@ -224,13 +235,20 @@ class FastConvTranspose(nn.Module):
 
 
 class FastConv(nn.Module):
-    """nn.Conv-compatible module computing via shift-einsum when C is small."""
+    """nn.Conv-compatible module computing via shift-einsum when C is small.
+
+    ``use_stock=True`` forces the stock XLA conv regardless of channel count:
+    the shift-einsum crossover was slope-timed at the depth-scan cells' shapes
+    (tools/conv_probe3.py); at the FEATURE net's full-view shapes the stock
+    conv is ~2.2x faster end-to-end (444 -> 202 ms bf16 for the 5-view
+    AdaFeatureNet pass at 2752x1856, tools/feature_probe.py, round 5)."""
 
     features: int
     kernel_size: tuple[int, int]
     strides: tuple[int, int] = (1, 1)
     use_bias: bool = True
     dtype: Any = None
+    use_stock: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -242,7 +260,9 @@ class FastConv(nn.Module):
         dt = self.dtype or x.dtype
         xc = x.astype(dt)
         kc = kernel.astype(dt)
-        if _use_shift(Ci, self.features) and self.strides[0] == self.strides[1]:
+        if (not (self.use_stock and _stock_ok())
+                and _use_shift(Ci, self.features)
+                and self.strides[0] == self.strides[1]):
             y = conv2d_shift(xc, kc, self.strides[0])
         else:
             pad = (((kh - 1) // 2,) * 2, ((kw - 1) // 2,) * 2)

@@ -41,7 +41,8 @@ class _SPPBranch(nn.Module):
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         p = self.pool
         y = nn.avg_pool(x, (p, p), strides=(p, p))
-        y = ConvBlock(self.features, kernel=1, dtype=self.dtype)(y, train)
+        y = ConvBlock(self.features, kernel=1, dtype=self.dtype,
+                      use_stock=True)(y, train)
         return _resize_bilinear(y, x.shape[1], x.shape[2])
 
 
@@ -53,7 +54,10 @@ class AdaFeatureNet(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> dict[str, jnp.ndarray]:
         b = self.base
-        conv = lambda f, k, s: ConvBlock(f, k, s, dtype=self.dtype)
+        # stock XLA convs: 2.2x faster than shift-einsum at feature-net
+        # shapes (tools/feature_probe.py, round 5)
+        conv = lambda f, k, s: ConvBlock(f, k, s, dtype=self.dtype,
+                                         use_stock=True)
 
         c0 = conv(b, 3, 1)(x, train)
         c0 = conv(b, 3, 1)(c0, train)
@@ -71,23 +75,23 @@ class AdaFeatureNet(nn.Module):
         b1 = _SPPBranch(2 * b, 4, dtype=self.dtype)(intra, train)
         b2 = _SPPBranch(2 * b, 8, dtype=self.dtype)(intra, train)
         cat = jnp.concatenate([b1, b2, intra], axis=-1)
-        outputs["stage1"] = FastConv(4 * b, (1, 1), use_bias=False, dtype=self.dtype)(cat)
+        outputs["stage1"] = FastConv(4 * b, (1, 1), use_bias=False, dtype=self.dtype, use_stock=True)(cat)
         if self.num_stages < 2:
             return outputs
 
-        intra = DeConvFuse(2 * b, dtype=self.dtype)(c1, intra, train)
+        intra = DeConvFuse(2 * b, dtype=self.dtype, use_stock=True)(c1, intra, train)
         b1 = _SPPBranch(b, 4, dtype=self.dtype)(intra, train)
         b2 = _SPPBranch(b, 8, dtype=self.dtype)(intra, train)
         cat = jnp.concatenate([b1, b2, intra], axis=-1)
-        outputs["stage2"] = FastConv(2 * b, (1, 1), use_bias=False, dtype=self.dtype)(cat)
+        outputs["stage2"] = FastConv(2 * b, (1, 1), use_bias=False, dtype=self.dtype, use_stock=True)(cat)
         if self.num_stages < 3:
             return outputs
 
-        intra = DeConvFuse(b, dtype=self.dtype)(c0, intra, train)
+        intra = DeConvFuse(b, dtype=self.dtype, use_stock=True)(c0, intra, train)
         b1 = _SPPBranch(b // 2, 4, dtype=self.dtype)(intra, train)
         b2 = _SPPBranch(b // 2, 8, dtype=self.dtype)(intra, train)
         cat = jnp.concatenate([b1, b2, intra], axis=-1)
-        outputs["stage3"] = FastConv(b, (1, 1), use_bias=False, dtype=self.dtype)(cat)
+        outputs["stage3"] = FastConv(b, (1, 1), use_bias=False, dtype=self.dtype, use_stock=True)(cat)
 
         return outputs
 
@@ -106,7 +110,10 @@ class RedFeatureNet(nn.Module):
     def __call__(self, x: jnp.ndarray, train: bool = False) -> dict[str, jnp.ndarray]:
         assert self.arch_mode in ("unet", "fpn")
         b = self.base
-        conv = lambda f, k, s: ConvBlock(f, k, s, dtype=self.dtype)
+        # stock XLA convs: 2.2x faster than shift-einsum at feature-net
+        # shapes (tools/feature_probe.py, round 5)
+        conv = lambda f, k, s: ConvBlock(f, k, s, dtype=self.dtype,
+                                         use_stock=True)
 
         c0 = conv(b, 3, 1)(x, train)
         c0 = conv(b, 3, 1)(c0, train)
@@ -119,15 +126,15 @@ class RedFeatureNet(nn.Module):
 
         outputs = {}
         intra = c2
-        outputs["stage1"] = FastConv(4 * b, (1, 1), use_bias=False, dtype=self.dtype)(intra)
+        outputs["stage1"] = FastConv(4 * b, (1, 1), use_bias=False, dtype=self.dtype, use_stock=True)(intra)
 
         if self.arch_mode == "unet":
             if self.num_stages >= 2:
-                intra = DeConvFuse(2 * b, dtype=self.dtype)(c1, intra, train)
-                outputs["stage2"] = FastConv(2 * b, (1, 1), use_bias=False, dtype=self.dtype)(intra)
+                intra = DeConvFuse(2 * b, dtype=self.dtype, use_stock=True)(c1, intra, train)
+                outputs["stage2"] = FastConv(2 * b, (1, 1), use_bias=False, dtype=self.dtype, use_stock=True)(intra)
             if self.num_stages >= 3:
-                intra = DeConvFuse(b, dtype=self.dtype)(c0, intra, train)
-                outputs["stage3"] = FastConv(b, (1, 1), use_bias=False, dtype=self.dtype)(intra)
+                intra = DeConvFuse(b, dtype=self.dtype, use_stock=True)(c0, intra, train)
+                outputs["stage3"] = FastConv(b, (1, 1), use_bias=False, dtype=self.dtype, use_stock=True)(intra)
         else:  # fpn (msrednet.py:115-128)
             final = 4 * b
             if self.num_stages >= 2:
@@ -135,16 +142,16 @@ class RedFeatureNet(nn.Module):
                     intra, (intra.shape[0], intra.shape[1] * 2, intra.shape[2] * 2, intra.shape[3]),
                     method="nearest",
                 )
-                intra = up + FastConv(final, (1, 1), use_bias=True, dtype=self.dtype)(c1)
+                intra = up + FastConv(final, (1, 1), use_bias=True, dtype=self.dtype, use_stock=True)(c1)
                 f2 = 2 * b if self.num_stages == 3 else b
-                outputs["stage2"] = FastConv(f2, (3, 3), use_bias=False, dtype=self.dtype)(intra)
+                outputs["stage2"] = FastConv(f2, (3, 3), use_bias=False, dtype=self.dtype, use_stock=True)(intra)
             if self.num_stages >= 3:
                 up = jax.image.resize(
                     intra, (intra.shape[0], intra.shape[1] * 2, intra.shape[2] * 2, intra.shape[3]),
                     method="nearest",
                 )
-                intra = up + FastConv(final, (1, 1), use_bias=True, dtype=self.dtype)(c0)
-                outputs["stage3"] = FastConv(b, (3, 3), use_bias=False, dtype=self.dtype)(intra)
+                intra = up + FastConv(final, (1, 1), use_bias=True, dtype=self.dtype, use_stock=True)(c0)
+                outputs["stage3"] = FastConv(b, (3, 3), use_bias=False, dtype=self.dtype, use_stock=True)(intra)
 
         return outputs
 

@@ -126,7 +126,9 @@ def pick_tile_rows(w: int) -> int:
                 f"ADAMVS_RED_TILE_ROWS={th} invalid: must be a multiple of 8 "
                 f"and >= {HALO}")
         return th
-    return 48
+    # 96 over 48: halo overcompute (th+2*HALO)/th drops 1.67 -> 1.33; measured
+    # x0.80 stage-2 kernel time at bench geometry (BASELINE.md round-5)
+    return 96
 
 
 def spatialize(vol: jnp.ndarray, tile_rows: int) -> jnp.ndarray:

@@ -28,6 +28,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--warp_impl", default="pallas2bf16")
     ap.add_argument("--sweep_impl", default="scan")
+    ap.add_argument("--reg_impl", default="scan")
     ap.add_argument("--dtype", default="bf16")
     ap.add_argument("--small", action="store_true")
     ap.add_argument("--trace_dir", default="/tmp/attrib_trace")
@@ -40,7 +41,8 @@ def main():
     from bench import make_inputs
 
     h, w, nd = (704, 480, 96) if args.small else (2752, 1856, 192)
-    kw = {"warp_impl": args.warp_impl, "sweep_impl": args.sweep_impl}
+    kw = {"warp_impl": args.warp_impl, "sweep_impl": args.sweep_impl,
+          "reg_impl": args.reg_impl}
     if args.dtype == "bf16":
         kw["dtype"] = jnp.bfloat16
     model = build_model("adamvs", **kw)
@@ -49,10 +51,15 @@ def main():
         jax.random.PRNGKey(0), jnp.zeros((1, 5, 64, 96, 3), jnp.float32),
         projs, dv, num_depth=nd,
     )
+    apply_kw = {}
+    if args.reg_impl != "scan":
+        from adamvs_tpu.models.adamvs import model_pack_reg
+        apply_kw["packed_reg"] = model_pack_reg(model, variables)
 
     @jax.jit
     def fwd(variables, imgs, projs, dv):
-        out = model.apply(variables, imgs, projs, dv, train=False, num_depth=nd)
+        out = model.apply(variables, imgs, projs, dv, train=False, num_depth=nd,
+                          **apply_kw)
         return out["depth"], out["photometric_confidence"]
 
     d, p = fwd(variables, imgs, projs, dv)
