@@ -36,13 +36,14 @@ class _SPPBranch(nn.Module):
     features: int
     pool: int
     dtype: Any = None
+    use_stock: bool = True
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         p = self.pool
         y = nn.avg_pool(x, (p, p), strides=(p, p))
         y = ConvBlock(self.features, kernel=1, dtype=self.dtype,
-                      use_stock=True)(y, train)
+                      use_stock=self.use_stock)(y, train)
         return _resize_bilinear(y, x.shape[1], x.shape[2])
 
 
@@ -87,11 +88,15 @@ class AdaFeatureNet(nn.Module):
         if self.num_stages < 3:
             return outputs
 
-        intra = DeConvFuse(b, dtype=self.dtype, use_stock=True)(c0, intra, train)
-        b1 = _SPPBranch(b // 2, 4, dtype=self.dtype)(intra, train)
-        b2 = _SPPBranch(b // 2, 8, dtype=self.dtype)(intra, train)
+        # full-res level stays on automatic dispatch: the stock stage-3 out
+        # conv makes XLA fuse the (B,V) output reshape into the conv and pick
+        # a (B,C)-tiled layout — 12.8-25.6x padding, 19.5G HBM at bench
+        # shapes (round-5 OOM); shift-einsum keeps W-minor layouts
+        intra = DeConvFuse(b, dtype=self.dtype)(c0, intra, train)
+        b1 = _SPPBranch(b // 2, 4, dtype=self.dtype, use_stock=False)(intra, train)
+        b2 = _SPPBranch(b // 2, 8, dtype=self.dtype, use_stock=False)(intra, train)
         cat = jnp.concatenate([b1, b2, intra], axis=-1)
-        outputs["stage3"] = FastConv(b, (1, 1), use_bias=False, dtype=self.dtype, use_stock=True)(cat)
+        outputs["stage3"] = FastConv(b, (1, 1), use_bias=False, dtype=self.dtype)(cat)
 
         return outputs
 
@@ -133,8 +138,9 @@ class RedFeatureNet(nn.Module):
                 intra = DeConvFuse(2 * b, dtype=self.dtype, use_stock=True)(c1, intra, train)
                 outputs["stage2"] = FastConv(2 * b, (1, 1), use_bias=False, dtype=self.dtype, use_stock=True)(intra)
             if self.num_stages >= 3:
-                intra = DeConvFuse(b, dtype=self.dtype, use_stock=True)(c0, intra, train)
-                outputs["stage3"] = FastConv(b, (1, 1), use_bias=False, dtype=self.dtype, use_stock=True)(intra)
+                # automatic dispatch at full res (see AdaFeatureNet note)
+                intra = DeConvFuse(b, dtype=self.dtype)(c0, intra, train)
+                outputs["stage3"] = FastConv(b, (1, 1), use_bias=False, dtype=self.dtype)(intra)
         else:  # fpn (msrednet.py:115-128)
             final = 4 * b
             if self.num_stages >= 2:
@@ -151,7 +157,7 @@ class RedFeatureNet(nn.Module):
                     method="nearest",
                 )
                 intra = up + FastConv(final, (1, 1), use_bias=True, dtype=self.dtype, use_stock=True)(c0)
-                outputs["stage3"] = FastConv(b, (3, 3), use_bias=False, dtype=self.dtype, use_stock=True)(intra)
+                outputs["stage3"] = FastConv(b, (3, 3), use_bias=False, dtype=self.dtype)(intra)
 
         return outputs
 

@@ -48,6 +48,13 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
 # reported: vs_baseline uses the anchor, vs_baseline_strict the upper bound.
 REF_GPU_DEPTH_MAPS_PER_S = 0.1
 REF_GPU_DEPTH_MAPS_PER_S_STRICT = 0.65
+# Train-side anchors (384x768 crops): the eager per-slice reference model
+# gives ~0.5 steps/s (the lenient anchor); the strict bound mirrors the
+# predict derivation — step work ~= 2.5 TFLOP/map x (384*768 / 2752*1856)
+# pixels x ~3x fwd+bwd ~= 0.43 TFLOP at 1.6 TF/s effective 3090-class
+# throughput -> ~3.7 steps/s (intentionally generous to the reference).
+REF_GPU_TRAIN_STEPS_PER_S = 0.5
+REF_GPU_TRAIN_STEPS_PER_S_STRICT = 3.7
 
 
 def make_inputs(height, width, views, batch):
@@ -150,10 +157,18 @@ def run_bench(height, width, views, numdepth, iters, model_name, warmup=1,
         return float(jnp.sum(x))
 
     # XLA-counted flops/bytes for the roofline columns (counts the math as
-    # written, incl. the one-hot hat matmuls of the banded/pallas warps)
+    # written, incl. the one-hot hat matmuls of the banded/pallas warps).
+    # Execute the AOT-compiled object directly: ``.lower().compile()`` does
+    # NOT populate the jit dispatch cache, so calling ``fwd(...)`` afterwards
+    # would compile the whole module a SECOND time — at the Pallas
+    # regularizer config that is ~15 extra minutes (the axon backend never
+    # engages the persistent compilation cache).
     flops = bytes_accessed = None
+    call = fwd
     try:
-        cost = fwd.lower(variables, imgs, projs, dv).compile().cost_analysis()
+        compiled = fwd.lower(variables, imgs, projs, dv).compile()
+        call = compiled
+        cost = compiled.cost_analysis()
         if cost:
             flops = float(cost.get("flops", 0.0)) or None
             bytes_accessed = float(cost.get("bytes accessed", 0.0)) or None
@@ -161,13 +176,13 @@ def run_bench(height, width, views, numdepth, iters, model_name, warmup=1,
         pass
 
     for _ in range(warmup):
-        d, p = fwd(variables, imgs, projs, dv)
+        d, p = call(variables, imgs, projs, dv)
         sync(d)
 
     times = []
     for _ in range(iters):
         t0 = time.perf_counter()
-        d, p = fwd(variables, imgs, projs, dv)
+        d, p = call(variables, imgs, projs, dv)
         sync(d)
         times.append(time.perf_counter() - t0)
     return float(np.median(times)), flops, bytes_accessed
@@ -238,9 +253,13 @@ def run_train_bench(height, width, views, iters, model_name, warmup=2,
         batch_d = shard_batch(batch_d, mesh)
     step = make_train_step(model_loss(model_name), (0.5, 1.0, 2.0))
 
+    # AOT-execute to avoid a second full compile (see run_bench)
     flops = nbytes = None
+    call = step
     try:
-        cost = step.lower(state, batch_d).compile().cost_analysis()
+        compiled = step.lower(state, batch_d).compile()
+        call = compiled
+        cost = compiled.cost_analysis()
         if cost:
             flops = float(cost.get("flops", 0.0)) or None
             nbytes = float(cost.get("bytes accessed", 0.0)) or None
@@ -248,12 +267,12 @@ def run_train_bench(height, width, views, iters, model_name, warmup=2,
         pass
 
     for _ in range(warmup):
-        state, metrics, _ = step(state, batch_d)
+        state, metrics, _ = call(state, batch_d)
         float(metrics["loss"])
     times = []
     for _ in range(iters):
         t0 = time.perf_counter()
-        state, metrics, _ = step(state, batch_d)
+        state, metrics, _ = call(state, batch_d)
         float(metrics["loss"])  # device sync through the scalar fetch
         times.append(time.perf_counter() - t0)
     return float(np.median(times)), flops, nbytes
@@ -417,8 +436,14 @@ def main():
     bands = [int(x) for x in args.bands.split(",")] if args.bands else None
 
     if args.mode == "train":
-        # reference-like training crop (full-res oblique patches)
+        # reference-like training crop (full-res oblique patches);
+        # --height/--width override (e.g. tiny shapes for the CPU-mesh
+        # scaling-harness wiring proof)
         th_, tw_ = (384, 768) if not args.small else (192, 384)
+        if args.height:
+            th_ = args.height
+        if args.width:
+            tw_ = args.width
         bench_kw = dict(
             warp_impl=args.warp_impl, dtype=args.dtype, batch=args.batch,
             remat=args.remat == "on", sweep_impl=args.sweep_impl,
@@ -433,10 +458,15 @@ def main():
             "metric": f"{args.model}_train_{th_}x{tw_}_steps_per_s_per_chip",
             "value": round(steps_per_s / args.data_parallel, 5),
             "unit": "train_steps/s/chip",
-            # modeled reference anchor (BASELINE.md "Training throughput
+            # modeled reference anchors (BASELINE.md "Training throughput
             # anchor"): eager per-slice GPU loop, fwd+bwd ~3x fwd flops at
-            # 1/17 the bench-map pixels -> ~0.5 steps/s
-            "vs_baseline": round(steps_per_s / args.data_parallel / 0.5, 3),
+            # 1/17 the bench-map pixels -> ~0.5 steps/s; strict = 3090-class
+            # well-utilized bound (~3.7 steps/s)
+            "vs_baseline": round(
+                steps_per_s / args.data_parallel / REF_GPU_TRAIN_STEPS_PER_S, 3),
+            "vs_baseline_strict": round(
+                steps_per_s / args.data_parallel / REF_GPU_TRAIN_STEPS_PER_S_STRICT,
+                3),
             "config": {
                 "warp_impl": args.warp_impl, "sweep_impl": args.sweep_impl,
                 "dtype": args.dtype, "batch": args.batch, "remat": args.remat,
