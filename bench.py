@@ -399,12 +399,14 @@ def main():
                     help="fused: one Pallas plane-sweep call per stage "
                          "instead of per-depth warps in-scan")
     ap.add_argument("--fuse_d_chunk", type=int, default=16)
-    ap.add_argument("--reg_impl", default="scan",
+    ap.add_argument("--reg_impl", default=None,
                     choices=["scan", "pallas", "precomp"],
                     help="pallas (adamvs): whole recurrent-regularizer depth "
                          "scan in one Pallas kernel per stage; precomp "
                          "(msrednet): input-side convs batched over D outside "
-                         "the scan. Both need a fused sweep")
+                         "the scan. Both need a fused sweep. Default: pallas "
+                         "for adamvs predict (the measured config since r5, "
+                         "0.56 maps/s vs 0.47 scan), scan otherwise")
     ap.add_argument("--dtype", default="bf16", choices=["f32", "bf16"])
     ap.add_argument("--batch", type=int, default=1,
                     help="frames per step; amortizes the serial depth recurrence")
@@ -424,6 +426,13 @@ def main():
                          "platform_device_count=N for the wiring proof; on "
                          "real multi-chip hardware it measures ICI scaling)")
     args = ap.parse_args()
+
+    if args.reg_impl is None:
+        # measured default (BASELINE.md round-5 series): the Pallas
+        # regularizer scan is inference-only and AdaMVS-only
+        args.reg_impl = (
+            "pallas" if args.model == "adamvs" and args.mode == "predict"
+            else "scan")
 
     if args.small:
         h, w, nd = 704, 480, 96
